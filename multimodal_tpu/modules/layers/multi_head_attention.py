@@ -1,0 +1,129 @@
+"""Multi-head attention with fused QKV and optional KV cache.
+
+Parity with reference ``modules/layers/multi_head_attention.py``
+(MultiHeadSelfAttention:19, MultiHeadAttentionWithCache:83,
+MHAWithCacheOutput:14). TPU-native design: QKV is one matmul onto the MXU;
+the score/softmax/weighted-sum runs through
+``multimodal_tpu.ops.scaled_dot_product_attention`` (Pallas flash kernel on
+TPU). The KV cache is an explicit ``(k, v)`` pytree returned to the caller —
+no hidden module state — so decode loops can carry it through ``lax.scan``
+with ``dynamic_update_slice`` (see ``utils/generate.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_tpu.ops.attention import scaled_dot_product_attention
+
+
+class MHAWithCacheOutput(NamedTuple):
+    attn_output: jnp.ndarray
+    past_key_value: Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention with a single fused QKV projection."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        is_causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        qkv = nn.Dense(
+            3 * self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="input_proj"
+        )(query)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.num_heads)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+
+        dropout_rng = None
+        rate = self.dropout if not deterministic else 0.0
+        if rate > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        attn = scaled_dot_product_attention(
+            q, k, v, mask=attn_mask, is_causal=is_causal,
+            dropout_rate=rate, dropout_rng=dropout_rng,
+        )
+        attn = _merge_heads(attn)
+        return nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="output_proj"
+        )(attn)
+
+
+class MultiHeadAttentionWithCache(nn.Module):
+    """Self- or cross-attention with separate q/k/v projections and KV cache.
+
+    ``dim_kv`` may differ from ``dim_q`` (cross-attention to another
+    modality). When ``past_key_value`` is given, new keys/values are
+    concatenated along the sequence axis and the updated cache is returned
+    (reference ``multi_head_attention.py:162-179``). For fixed-size scan
+    decoding prefer passing a preallocated cache and ``cache_index``.
+    """
+
+    dim_q: int
+    dim_kv: int
+    num_heads: int
+    dropout: float = 0.0
+    add_bias: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        past_key_value: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        is_causal: bool = False,
+        use_cache: bool = False,
+        deterministic: bool = True,
+    ):
+        dense = lambda d, name: nn.Dense(
+            d, use_bias=self.add_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = _split_heads(dense(self.dim_q, "q_proj")(query), self.num_heads)
+        k = _split_heads(dense(self.dim_q, "k_proj")(key), self.num_heads)
+        v = _split_heads(dense(self.dim_q, "v_proj")(value), self.num_heads)
+
+        if past_key_value is not None:
+            k = jnp.concatenate([past_key_value[0], k], axis=2)
+            v = jnp.concatenate([past_key_value[1], v], axis=2)
+
+        dropout_rng = None
+        rate = self.dropout if not deterministic else 0.0
+        if rate > 0.0:
+            dropout_rng = self.make_rng("dropout")
+        attn = scaled_dot_product_attention(
+            q, k, v, mask=attn_mask, is_causal=is_causal,
+            dropout_rate=rate, dropout_rng=dropout_rng,
+        )
+        out = dense(self.dim_q, "output_proj")(_merge_heads(attn))
+        if use_cache:
+            return MHAWithCacheOutput(out, (k, v))
+        return out

@@ -1,0 +1,343 @@
+"""Transformer encoder / decoder blocks.
+
+Parity with reference ``modules/layers/transformer.py``
+(TransformerEncoderLayer:31, TransformerEncoder:157,
+TransformerDecoderLayer:258, TransformerDecoder:524, TransformerOutput:22).
+
+TPU-native notes:
+  - LayerNorms use the fp32-compute ``Fp32LayerNorm`` so bf16 activations
+    keep the reference's numerics.
+  - Per-layer KV caches are explicit ``(k, v)`` pytrees returned through
+    ``TransformerOutput.current_key_values`` — the functional analog of the
+    reference's in-module cache threading (``transformer.py:625-643``).
+  - ``remat`` rematerializes each block (``jax.checkpoint``) — the analog of
+    the reference's ``apply_activation_checkpointing`` over encoder layers
+    (``examples/flava/native/train.py:148-165``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_tpu.modules.layers.mlp import MLP
+from multimodal_tpu.modules.layers.multi_head_attention import (
+    MultiHeadAttentionWithCache,
+    MultiHeadSelfAttention,
+)
+from multimodal_tpu.modules.layers.normalizations import Fp32LayerNorm
+
+
+class TransformerOutput(NamedTuple):
+    last_hidden_state: Optional[jnp.ndarray] = None
+    pooler_output: Optional[jnp.ndarray] = None
+    hidden_states: Optional[Tuple[jnp.ndarray, ...]] = None
+    attentions: Optional[Tuple[jnp.ndarray, ...]] = None
+    image_labels: Optional[jnp.ndarray] = None
+    current_key_values: Optional[Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]] = None
+
+
+class StochasticDepth(nn.Module):
+    """Row-mode stochastic depth (drop-path), matching torchvision semantics."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre- or post-norm encoder block: MHSA + MLP with residuals."""
+
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: Union[str, Callable] = "relu"
+    layer_norm_eps: float = 1e-12
+    norm_first: bool = False
+    drop_path_rate: Optional[float] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.attention = MultiHeadSelfAttention(
+            embed_dim=self.d_model, num_heads=self.n_head, dropout=self.dropout,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.feedforward = MLP(
+            self.d_model, self.d_model, self.dim_feedforward,
+            dropout=self.dropout, activation=self.activation,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.attention_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.feedforward_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        if self.drop_path_rate is not None:
+            self.drop_path = StochasticDepth(self.drop_path_rate)
+        else:
+            self.drop_path = None
+        self.residual_dropout = nn.Dropout(self.dropout)
+
+    def _residual_drop(self, x, deterministic):
+        if self.drop_path is not None:
+            return self.drop_path(x, deterministic=deterministic)
+        return self.residual_dropout(x, deterministic=deterministic)
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = hidden_states
+        if self.norm_first:
+            attn = self.attention(
+                self.attention_layernorm(x), attn_mask=attention_mask,
+                deterministic=deterministic,
+            )
+            x = x + self._residual_drop(attn, deterministic)
+            ff = self.feedforward(self.feedforward_layernorm(x), deterministic=deterministic)
+            return x + self._residual_drop(ff, deterministic)
+        else:
+            attn = self.attention(x, attn_mask=attention_mask, deterministic=deterministic)
+            x = self.attention_layernorm(x + self._residual_drop(attn, deterministic))
+            ff = self.feedforward(x, deterministic=deterministic)
+            return self.feedforward_layernorm(x + self._residual_drop(ff, deterministic))
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers with optional final LN and drop-path schedule."""
+
+    n_layer: int
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: Union[str, Callable] = "relu"
+    layer_norm_eps: float = 1e-12
+    norm_first: bool = False
+    final_layer_norm_eps: Optional[float] = None
+    drop_path_rate: Optional[float] = None
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        return_hidden_states: bool = False,
+        deterministic: bool = True,
+    ) -> TransformerOutput:
+        if self.drop_path_rate is not None:
+            drop_rates = [
+                float(r) for r in jnp.linspace(0.0, self.drop_path_rate, self.n_layer)
+            ]
+        else:
+            drop_rates = [None] * self.n_layer
+
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                TransformerEncoderLayer, static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+
+        all_hidden_states: List[jnp.ndarray] = []
+        for i in range(self.n_layer):
+            if return_hidden_states:
+                all_hidden_states.append(hidden_states)
+            hidden_states = layer_cls(
+                self.d_model, self.n_head, self.dim_feedforward, self.dropout,
+                self.activation, self.layer_norm_eps, self.norm_first,
+                drop_rates[i], dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(hidden_states, attention_mask, deterministic)
+        if return_hidden_states:
+            all_hidden_states.append(hidden_states)
+
+        if self.final_layer_norm_eps is not None:
+            hidden_states = Fp32LayerNorm(
+                eps=self.final_layer_norm_eps, param_dtype=self.param_dtype,
+                name="final_layer_norm",
+            )(hidden_states)
+
+        return TransformerOutput(
+            last_hidden_state=hidden_states,
+            hidden_states=tuple(all_hidden_states) if return_hidden_states else None,
+        )
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Decoder block: causal self-attn (+KV cache), optional cross-attn, MLP."""
+
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: Union[str, Callable] = "relu"
+    layer_norm_eps: float = 1e-12
+    norm_first: bool = False
+    use_cross_attention: bool = True
+    dim_kv: Optional[int] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        dim_kv = self.dim_kv if self.dim_kv is not None else self.d_model
+        self.attention = MultiHeadAttentionWithCache(
+            dim_q=self.d_model, dim_kv=self.d_model, num_heads=self.n_head,
+            dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.attention_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        if self.use_cross_attention:
+            self.cross_attention = MultiHeadAttentionWithCache(
+                dim_q=self.d_model, dim_kv=dim_kv, num_heads=self.n_head,
+                dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+            self.cross_attention_layernorm = Fp32LayerNorm(
+                eps=self.layer_norm_eps, param_dtype=self.param_dtype
+            )
+        self.feedforward = MLP(
+            self.d_model, self.d_model, self.dim_feedforward,
+            dropout=self.dropout, activation=self.activation,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.feedforward_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
+        self.residual_dropout = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        cross_attention_mask: Optional[jnp.ndarray] = None,
+        past_key_value: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        use_cache: bool = False,
+        is_causal: bool = False,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+        drop = lambda t: self.residual_dropout(t, deterministic=deterministic)
+        x = hidden_states
+        present_kv = None
+
+        def self_attn(inp):
+            out = self.attention(
+                inp, inp, inp, attn_mask=attention_mask,
+                past_key_value=past_key_value, is_causal=is_causal,
+                use_cache=use_cache, deterministic=deterministic,
+            )
+            if use_cache:
+                return out.attn_output, out.past_key_value
+            return out, None
+
+        if self.norm_first:
+            attn_out, present_kv = self_attn(self.attention_layernorm(x))
+            x = x + drop(attn_out)
+            if self.use_cross_attention and encoder_hidden_states is not None:
+                ca = self.cross_attention(
+                    self.cross_attention_layernorm(x), encoder_hidden_states,
+                    encoder_hidden_states, attn_mask=cross_attention_mask,
+                    deterministic=deterministic,
+                )
+                x = x + drop(ca)
+            ff = self.feedforward(self.feedforward_layernorm(x), deterministic=deterministic)
+            x = x + drop(ff)
+        else:
+            attn_out, present_kv = self_attn(x)
+            x = self.attention_layernorm(x + drop(attn_out))
+            if self.use_cross_attention:
+                if encoder_hidden_states is None:
+                    raise ValueError("encoder_hidden_states required for cross attention")
+                ca = self.cross_attention(
+                    x, encoder_hidden_states, encoder_hidden_states,
+                    attn_mask=cross_attention_mask, deterministic=deterministic,
+                )
+                x = self.cross_attention_layernorm(x + drop(ca))
+            ff = self.feedforward(x, deterministic=deterministic)
+            x = self.feedforward_layernorm(x + drop(ff))
+        return x, present_kv
+
+
+class TransformerDecoder(nn.Module):
+    """Stack of decoder layers; cross-attention every ``cross_attention_interval``
+    layers (reference ``transformer.py:577``); threads per-layer KV caches."""
+
+    n_layer: int
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    activation: Union[str, Callable] = "relu"
+    layer_norm_eps: float = 1e-12
+    norm_first: bool = False
+    use_cross_attention: bool = True
+    dim_kv: Optional[int] = None
+    cross_attention_interval: int = 1
+    final_layer_norm_eps: Optional[float] = None
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        cross_attention_mask: Optional[jnp.ndarray] = None,
+        past_key_values: Optional[Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]] = None,
+        use_cache: bool = False,
+        is_causal: bool = False,
+        return_hidden_states: bool = False,
+        deterministic: bool = True,
+    ) -> TransformerOutput:
+        all_hidden_states: List[jnp.ndarray] = []
+        current_key_values: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+        for i in range(self.n_layer):
+            if return_hidden_states:
+                all_hidden_states.append(hidden_states)
+            use_ca = self.use_cross_attention and i % self.cross_attention_interval == 0
+            pkv = past_key_values[i] if past_key_values is not None else None
+            hidden_states, present_kv = TransformerDecoderLayer(
+                self.d_model, self.n_head, self.dim_feedforward, self.dropout,
+                self.activation, self.layer_norm_eps, self.norm_first,
+                use_ca, self.dim_kv, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(
+                hidden_states,
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=attention_mask,
+                cross_attention_mask=cross_attention_mask,
+                past_key_value=pkv,
+                use_cache=use_cache,
+                is_causal=is_causal,
+                deterministic=deterministic,
+            )
+            if use_cache and present_kv is not None:
+                current_key_values.append(present_kv)
+        if return_hidden_states:
+            all_hidden_states.append(hidden_states)
+
+        if self.final_layer_norm_eps is not None:
+            hidden_states = Fp32LayerNorm(
+                eps=self.final_layer_norm_eps, param_dtype=self.param_dtype,
+                name="final_layer_norm",
+            )(hidden_states)
+
+        return TransformerOutput(
+            last_hidden_state=hidden_states,
+            hidden_states=tuple(all_hidden_states) if return_hidden_states else None,
+            current_key_values=tuple(current_key_values) if use_cache else None,
+        )

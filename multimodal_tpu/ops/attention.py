@@ -1,0 +1,91 @@
+"""Attention dispatch: Pallas flash kernel on TPU, fused XLA elsewhere.
+
+Functional replacement for the reference's
+``F.scaled_dot_product_attention`` call sites
+(``modules/layers/multi_head_attention.py:74,171`` and the explicit-softmax
+``modules/layers/attention.py:185``). Accepts either a boolean mask
+(True = attend) or an additive float bias; handles causal masking, dropout
+(XLA path), and returns probs optionally (XLA path only — returning the full
+probability matrix defeats the point of the fused kernel).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_tpu.ops.flash_attention import DEFAULT_MASK_VALUE, flash_attention
+
+_FLASH_MIN_SEQ = 256  # below this, plain fused-XLA attention is faster to compile and run
+
+
+def _tpu_available() -> bool:
+    if os.environ.get("MMTPU_DISABLE_FLASH"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat in ("tpu", "axon") or "tpu" in getattr(jax.devices()[0], "device_kind", "").lower()
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    is_causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    return_probs: bool = False,
+) -> jnp.ndarray | Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-head attention over ``(batch, heads, seq, head_dim)`` tensors.
+
+    Args:
+        mask: boolean, True = attend, broadcastable to (b, h, sq, sk).
+        bias: additive float bias, broadcastable to (b, h, sq, sk).
+        is_causal: apply lower-triangular causal masking.
+        dropout_rate/dropout_rng: attention-prob dropout (XLA path only).
+        return_probs: also return the post-softmax probabilities.
+    """
+    if mask is not None:
+        mask_bias = jnp.where(mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+        bias = mask_bias if bias is None else bias + mask_bias
+
+    use_flash = (
+        not return_probs
+        and dropout_rate == 0.0
+        and q.shape[-2] >= _FLASH_MIN_SEQ
+        and _tpu_available()
+    ) or bool(os.environ.get("MMTPU_FORCE_FLASH"))
+
+    if use_flash:
+        return flash_attention(q, k, v, bias, is_causal, sm_scale)
+
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else d ** -0.5
+    s = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if is_causal:
+        sq, sk = s.shape[-2], s.shape[-1]
+        causal = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        s = jnp.where(causal, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p_dropped = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        p_dropped = p
+    out = jnp.einsum("...qk,...kd->...qd", p_dropped.astype(v.dtype), v)
+    if return_probs:
+        return out, p
+    return out

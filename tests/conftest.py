@@ -1,0 +1,20 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+Mirrors the SURVEY §4 recommendation: multi-device semantics are validated
+on CPU-backed virtual devices (strictly better than the reference's
+GPU-gated mp.spawn tests).
+"""
+
+import os
+
+# Force CPU for tests even when the session environment points JAX at a
+# remote TPU (JAX_PLATFORMS=axon): unit tests run on an 8-device virtual
+# CPU mesh; only bench.py targets the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
