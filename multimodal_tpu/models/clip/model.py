@@ -1,0 +1,80 @@
+"""CLIP: generic two-encoder contrastive model + ViT builders.
+
+Parity with reference ``models/clip/model.py`` (CLIP:36, CLIPOutput,
+clip_vit_b16/b32/l14:77-114). The ResNet image-encoder variants
+(``clip_rn50`` etc.) live in ``resnet_encoder.py``. Pretrained-weight
+loading goes through ``multimodal_tpu.utils.checkpoint`` converters rather
+than URL side effects — pass the converted params to ``.apply``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_tpu.models.clip.image_encoder import CLIPViTEncoder
+from multimodal_tpu.models.clip.text_encoder import CLIPTextEncoder
+
+
+class CLIPOutput(NamedTuple):
+    embeddings_a: jnp.ndarray
+    embeddings_b: jnp.ndarray
+
+
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)
+
+
+class CLIP(nn.Module):
+    """Two-encoder contrastive wrapper: encode both, L2-normalize both."""
+
+    encoder_a: nn.Module
+    encoder_b: nn.Module
+
+    def __call__(self, features_a: jnp.ndarray, features_b: jnp.ndarray) -> CLIPOutput:
+        embeddings_a = _l2_normalize(self.encoder_a(features_a))
+        embeddings_b = _l2_normalize(self.encoder_b(features_b))
+        return CLIPOutput(embeddings_a=embeddings_a, embeddings_b=embeddings_b)
+
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return _l2_normalize(self.encoder_a(images))
+
+    def encode_text(self, text: jnp.ndarray) -> jnp.ndarray:
+        return _l2_normalize(self.encoder_b(text))
+
+
+def clip_vit_b16(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
+    vision_encoder = CLIPViTEncoder(
+        image_size=224, patch_size=16, layers=12, heads=12, width=768,
+        embedding_dim=512, dtype=dtype, param_dtype=param_dtype,
+    )
+    text_encoder = CLIPTextEncoder(
+        embedding_dim=512, dtype=dtype, param_dtype=param_dtype
+    )
+    return CLIP(vision_encoder, text_encoder)
+
+
+def clip_vit_b32(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
+    vision_encoder = CLIPViTEncoder(
+        image_size=224, patch_size=32, layers=12, heads=12, width=768,
+        embedding_dim=512, dtype=dtype, param_dtype=param_dtype,
+    )
+    text_encoder = CLIPTextEncoder(
+        embedding_dim=512, dtype=dtype, param_dtype=param_dtype
+    )
+    return CLIP(vision_encoder, text_encoder)
+
+
+def clip_vit_l14(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
+    vision_encoder = CLIPViTEncoder(
+        image_size=224, patch_size=14, layers=24, heads=16, width=1024,
+        embedding_dim=768, dtype=dtype, param_dtype=param_dtype,
+    )
+    text_encoder = CLIPTextEncoder(
+        embedding_dim=768, width=768, dim_feedforward=3072, heads=12,
+        dtype=dtype, param_dtype=param_dtype,
+    )
+    return CLIP(vision_encoder, text_encoder)

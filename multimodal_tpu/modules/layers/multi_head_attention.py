@@ -25,6 +25,15 @@ class MHAWithCacheOutput(NamedTuple):
     past_key_value: Tuple[jnp.ndarray, jnp.ndarray]
 
 
+def _mask_or_bias(attn_mask):
+    """Split a user mask into (bool mask, float bias) like torch SDPA."""
+    if attn_mask is None:
+        return None, None
+    if attn_mask.dtype == jnp.bool_:
+        return attn_mask, None
+    return None, attn_mask
+
+
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     b, s, d = x.shape
     return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
@@ -64,8 +73,9 @@ class MultiHeadSelfAttention(nn.Module):
         rate = self.dropout if not deterministic else 0.0
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+        mask, bias = _mask_or_bias(attn_mask)
         attn = scaled_dot_product_attention(
-            q, k, v, mask=attn_mask, is_causal=is_causal,
+            q, k, v, mask=mask, bias=bias, is_causal=is_causal,
             dropout_rate=rate, dropout_rng=dropout_rng,
         )
         attn = _merge_heads(attn)
@@ -119,8 +129,9 @@ class MultiHeadAttentionWithCache(nn.Module):
         rate = self.dropout if not deterministic else 0.0
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+        mask, bias = _mask_or_bias(attn_mask)
         attn = scaled_dot_product_attention(
-            q, k, v, mask=attn_mask, is_causal=is_causal,
+            q, k, v, mask=mask, bias=bias, is_causal=is_causal,
             dropout_rate=rate, dropout_rng=dropout_rng,
         )
         out = dense(self.dim_q, "output_proj")(_merge_heads(attn))

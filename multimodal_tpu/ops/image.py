@@ -1,0 +1,79 @@
+"""Fused on-device image preprocessing.
+
+TPU-native replacement for the reference's CPU/PIL torchvision transform
+stack (``transforms/clip_transform.py:301-352``): one jitted XLA program
+doing ``uint8 HWC -> resize(bicubic) -> center-crop -> scale ->
+normalize`` for a whole batch, keeping the H2D transfer at uint8 (3-4x
+less PCIe/DMA traffic than shipping fp32) and letting XLA fuse the
+elementwise tail into the resize. This is the north-star fused pipeline
+from BASELINE.json.
+
+The resize uses ``jax.image.resize`` (Keys cubic kernel) which tracks PIL
+bicubic within ~1e-2 per channel; checkpoint-parity evaluation should use
+the PIL path, throughput serving should use this one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_tpu.transforms.clip_transform import CLIP_DEFAULT_MEAN, CLIP_DEFAULT_STD
+
+
+def _resize_short_side(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Resize so the short side == size, preserving aspect (static shapes)."""
+    h, w, c = img.shape
+    if h <= w:
+        new_h, new_w = size, int(round(size * w / h))
+    else:
+        new_h, new_w = int(round(size * h / w)), size
+    return jax.image.resize(img, (new_h, new_w, c), method="cubic")
+
+
+def _center_crop(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    h, w, _ = img.shape
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return jax.lax.dynamic_slice(img, (top, left, 0), (size, size, img.shape[-1]))
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def fused_decode_resize_normalize(
+    images_uint8: jnp.ndarray,
+    size: int = 224,
+    mean: Sequence[float] = CLIP_DEFAULT_MEAN,
+    std: Sequence[float] = CLIP_DEFAULT_STD,
+) -> jnp.ndarray:
+    """Batch of same-shaped uint8 HWC images -> normalized float NHWC.
+
+    images_uint8: (b, H, W, 3) uint8. All images share (H, W) per call —
+    bucket ragged inputs host-side to a few canonical sizes to avoid
+    recompiles.
+    """
+    mean_arr = jnp.asarray(mean, jnp.float32)
+    std_arr = jnp.asarray(std, jnp.float32)
+
+    def one(img):
+        img = img.astype(jnp.float32) / 255.0
+        img = _resize_short_side(img, size)
+        img = _center_crop(img, size)
+        return (img - mean_arr) / std_arr
+
+    return jax.vmap(one)(images_uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "dtype"))
+def fused_preprocess_for_encoder(
+    images_uint8: jnp.ndarray,
+    size: int = 224,
+    mean: Sequence[float] = CLIP_DEFAULT_MEAN,
+    std: Sequence[float] = CLIP_DEFAULT_STD,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Same as fused_decode_resize_normalize but emitting the encoder dtype
+    (bf16) so the normalize fuses straight into the patch-embed matmul."""
+    return fused_decode_resize_normalize(images_uint8, size, mean, std).astype(dtype)

@@ -17,4 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the remote-TPU backend at
+# interpreter start and overrides JAX_PLATFORMS; the config update below is
+# what actually pins tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
