@@ -33,6 +33,7 @@ class BERTTextEncoder(nn.Module):
         position_ids: Optional[jnp.ndarray] = None,
         inputs_embeds: Optional[jnp.ndarray] = None,
         return_hidden_states: bool = False,
+        return_attn_weights: bool = False,
         deterministic: bool = True,
     ) -> TransformerOutput:
         if input_ids is None and inputs_embeds is None:
@@ -57,6 +58,7 @@ class BERTTextEncoder(nn.Module):
             embedding_output,
             attention_mask=attention_mask,
             return_hidden_states=return_hidden_states,
+            return_attn_weights=return_attn_weights,
             deterministic=deterministic,
         )
         last_hidden_state = encoder_output.last_hidden_state

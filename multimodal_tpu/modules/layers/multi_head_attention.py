@@ -59,8 +59,9 @@ class MultiHeadSelfAttention(nn.Module):
         query: jnp.ndarray,
         attn_mask: Optional[jnp.ndarray] = None,
         is_causal: bool = False,
+        return_attn_weights: bool = False,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+    ):
         qkv = nn.Dense(
             3 * self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="input_proj"
         )(query)
@@ -74,14 +75,24 @@ class MultiHeadSelfAttention(nn.Module):
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
         mask, bias = _mask_or_bias(attn_mask)
-        attn = scaled_dot_product_attention(
-            q, k, v, mask=mask, bias=bias, is_causal=is_causal,
-            dropout_rate=rate, dropout_rng=dropout_rng,
-        )
+        probs = None
+        if return_attn_weights:
+            attn, probs = scaled_dot_product_attention(
+                q, k, v, mask=mask, bias=bias, is_causal=is_causal,
+                dropout_rate=rate, dropout_rng=dropout_rng, return_probs=True,
+            )
+        else:
+            attn = scaled_dot_product_attention(
+                q, k, v, mask=mask, bias=bias, is_causal=is_causal,
+                dropout_rate=rate, dropout_rng=dropout_rng,
+            )
         attn = _merge_heads(attn)
-        return nn.Dense(
+        out = nn.Dense(
             self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="output_proj"
         )(attn)
+        if return_attn_weights:
+            return out, probs
+        return out
 
 
 class MultiHeadAttentionWithCache(nn.Module):

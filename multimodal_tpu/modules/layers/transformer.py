@@ -98,21 +98,33 @@ class TransformerEncoderLayer(nn.Module):
         hidden_states: jnp.ndarray,
         attention_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_attn_weights: bool = False,
+    ):
         x = hidden_states
+        probs = None
         if self.norm_first:
             attn = self.attention(
                 self.attention_layernorm(x), attn_mask=attention_mask,
-                deterministic=deterministic,
+                return_attn_weights=return_attn_weights, deterministic=deterministic,
             )
+            if return_attn_weights:
+                attn, probs = attn
             x = x + self._residual_drop(attn, deterministic)
             ff = self.feedforward(self.feedforward_layernorm(x), deterministic=deterministic)
-            return x + self._residual_drop(ff, deterministic)
+            out = x + self._residual_drop(ff, deterministic)
         else:
-            attn = self.attention(x, attn_mask=attention_mask, deterministic=deterministic)
+            attn = self.attention(
+                x, attn_mask=attention_mask,
+                return_attn_weights=return_attn_weights, deterministic=deterministic,
+            )
+            if return_attn_weights:
+                attn, probs = attn
             x = self.attention_layernorm(x + self._residual_drop(attn, deterministic))
             ff = self.feedforward(x, deterministic=deterministic)
-            return self.feedforward_layernorm(x + self._residual_drop(ff, deterministic))
+            out = self.feedforward_layernorm(x + self._residual_drop(ff, deterministic))
+        if return_attn_weights:
+            return out, probs
+        return out
 
 
 class TransformerEncoder(nn.Module):
@@ -138,6 +150,7 @@ class TransformerEncoder(nn.Module):
         hidden_states: jnp.ndarray,
         attention_mask: Optional[jnp.ndarray] = None,
         return_hidden_states: bool = False,
+        return_attn_weights: bool = False,
         deterministic: bool = True,
     ) -> TransformerOutput:
         if self.drop_path_rate is not None:
@@ -150,20 +163,26 @@ class TransformerEncoder(nn.Module):
         layer_cls = TransformerEncoderLayer
         if self.remat:
             layer_cls = nn.remat(
-                TransformerEncoderLayer, static_argnums=(3,),
+                TransformerEncoderLayer, static_argnums=(3, 4),
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
 
         all_hidden_states: List[jnp.ndarray] = []
+        all_attentions: List[jnp.ndarray] = []
         for i in range(self.n_layer):
             if return_hidden_states:
                 all_hidden_states.append(hidden_states)
-            hidden_states = layer_cls(
+            out = layer_cls(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.activation, self.layer_norm_eps, self.norm_first,
                 drop_rates[i], dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
-            )(hidden_states, attention_mask, deterministic)
+            )(hidden_states, attention_mask, deterministic, return_attn_weights)
+            if return_attn_weights:
+                hidden_states, probs = out
+                all_attentions.append(probs)
+            else:
+                hidden_states = out
         if return_hidden_states:
             all_hidden_states.append(hidden_states)
 
@@ -176,6 +195,7 @@ class TransformerEncoder(nn.Module):
         return TransformerOutput(
             last_hidden_state=hidden_states,
             hidden_states=tuple(all_hidden_states) if return_hidden_states else None,
+            attentions=tuple(all_attentions) if return_attn_weights else None,
         )
 
 
