@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 from typing import Any, NamedTuple, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -44,6 +45,7 @@ class PatchEmbeddings(nn.Module):
     use_image_masking: bool = False
     patch_drop_rate: Optional[Union[float, Tuple[float, float]]] = None
     include_cls_embed: bool = True
+    use_fixed_sincos_pos: bool = False  # MAE: frozen 2-d sin-cos pos embeddings
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -89,10 +91,29 @@ class PatchEmbeddings(nn.Module):
         embeddings = embeddings.reshape(batch_size, num_patches, self.hidden_size)
 
         pos_seq = num_patches + 1 if self.include_cls_embed else num_patches
-        position_embeddings = self.param(
-            "position_embeddings", nn.initializers.zeros,
-            (1, pos_seq, self.hidden_size), self.param_dtype,
-        )
+        if self.use_fixed_sincos_pos:
+            from multimodal_tpu.models.masked_auto_encoder.position_embeddings import (
+                get_2d_sin_cos_embeddings,
+            )
+
+            def sincos_init(_key, shape, dtype):
+                emb = get_2d_sin_cos_embeddings(
+                    self.hidden_size, (num_patches_w, num_patches_h),
+                    include_cls_embed=self.include_cls_embed,
+                )
+                return emb.astype(dtype)
+
+            position_embeddings = jax.lax.stop_gradient(
+                self.param(
+                    "position_embeddings", sincos_init,
+                    (1, pos_seq, self.hidden_size), self.param_dtype,
+                )
+            )
+        else:
+            position_embeddings = self.param(
+                "position_embeddings", nn.initializers.zeros,
+                (1, pos_seq, self.hidden_size), self.param_dtype,
+            )
 
         if image_patches_mask is not None:
             if self.use_image_masking:
