@@ -139,8 +139,13 @@ class MultiHeadAttention(nn.Module):
         return_attn_weights: bool = False,
         past_key_value: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         use_cache: bool = False,
+        cache_index: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
+        """When ``cache_index`` is given along with ``past_key_value``, the
+        cache is a fixed-size preallocated buffer written in place at that
+        index (lax.scan-friendly decode); otherwise new K/V concatenate onto
+        the cache (reference ``attention.py:156-169`` semantics)."""
         if self.dim_q % self.n_head or self.dim_kv % self.n_head:
             raise ValueError("dims must be divisible by n_head")
         kv = q if kv is None else kv
@@ -161,8 +166,16 @@ class MultiHeadAttention(nn.Module):
         v_p = heads(dense(self.dim_q, "value")(kv))
 
         if past_key_value is not None:
-            k_p = jnp.concatenate([past_key_value[0], k_p], axis=2)
-            v_p = jnp.concatenate([past_key_value[1], v_p], axis=2)
+            if cache_index is not None:
+                k_p = jax.lax.dynamic_update_slice(
+                    past_key_value[0], k_p, (0, 0, cache_index, 0)
+                )
+                v_p = jax.lax.dynamic_update_slice(
+                    past_key_value[1], v_p, (0, 0, cache_index, 0)
+                )
+            else:
+                k_p = jnp.concatenate([past_key_value[0], k_p], axis=2)
+                v_p = jnp.concatenate([past_key_value[1], v_p], axis=2)
         present = (k_p, v_p)
 
         attn_module = self.attn_module if self.attn_module is not None else SelfAttention()
