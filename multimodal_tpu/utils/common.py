@@ -47,6 +47,29 @@ def tensor_slice(x: jnp.ndarray, begin: Sequence[int], size: Sequence[int]) -> j
     return x[slices]
 
 
+def momentum_update(params: Any, params_m: Any, momentum: float) -> Any:
+    """EMA update of a momentum param pytree (pure).
+
+    Functional analog of reference ``utils/common.py:116`` (momentum_update,
+    which mutates the momentum model in place under no_grad): returns the new
+    momentum tree; callers thread it through the train step.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda p, m: m * momentum + jax.lax.stop_gradient(p) * (1.0 - momentum),
+        params,
+        params_m,
+    )
+
+
+def remove_grad(params: Any) -> Any:
+    """stop_gradient over a pytree (analog of reference utils/common.py:122)."""
+    import jax
+
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+
+
 def to_tuple_tuple(param: Any, dim_tuple: int, num_tuple: int) -> Tuple:
     """Convert an int or tuple to a tuple of ``num_tuple`` tuples of length
     ``dim_tuple`` (used by 3-D conv stacks; reference ``utils/common.py``)."""
