@@ -1,0 +1,166 @@
+"""Generic SPMD training loop.
+
+TPU-native replacement for the reference's two trainer stacks (PyTorch
+Lightning and the raw DDP/FSDP loop at ``examples/flava/native/train.py``):
+one jitted train step over a mesh — params FSDP- or replica-sharded, batch
+dp-sharded, GSPMD inserting the collectives the reference got from
+NCCL/DDP/FSDP — with metric logging, throughput measurement, and orbax
+checkpoint/auto-resume.
+
+Feature mapping (reference -> here):
+  - DDP/FSDP strategy switch (train.py:167-211)   -> ``strategy`` arg
+  - autocast bf16 + ShardedGradScaler (:115-121)  -> bf16 compute dtype;
+    no grad scaler needed (bf16 has fp32 range)
+  - activation checkpointing (:148-165)           -> model ``remat`` flag
+  - dist.reduce loss logging (:220-240)           -> loss is already global
+    under GSPMD jit (computed over the global batch)
+  - throughput measurement (:247-261)             -> items/sec in metrics
+  - TensorBoard writer (:99-134)                  -> JSONL metrics file
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodal_tpu.parallel.mesh import create_mesh
+from multimodal_tpu.parallel.sharding import (
+    batch_sharding,
+    fsdp_sharding,
+    replicated_sharding,
+)
+from multimodal_tpu.training.checkpoint import CheckpointManager
+
+
+class MetricsLogger:
+    """JSONL metrics + stdout (analog of the reference's TB SummaryWriter)."""
+
+    def __init__(self, log_dir: Optional[str] = None, log_interval: int = 10):
+        self.log_interval = log_interval
+        self.path = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self.path = os.path.join(log_dir, "metrics.jsonl")
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if step % self.log_interval == 0:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in record.items() if k != "step")
+            print(f"[step {step}] {parts}", flush=True)
+
+
+class Trainer:
+    """Mesh + sharded jitted step + checkpointing.
+
+    Args:
+        loss_fn: (params, batch, rng) -> (loss, aux_metrics_dict)
+        optimizer: optax transformation.
+        strategy: 'ddp' (replicated params) or 'fsdp' (sharded params).
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        optimizer: optax.GradientTransformation,
+        strategy: str = "fsdp",
+        mesh=None,
+        checkpoint_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
+        log_interval: int = 10,
+        max_checkpoints: int = 3,
+    ):
+        if strategy not in ("ddp", "fsdp"):
+            raise ValueError(f"unknown strategy {strategy}")
+        self.loss_fn = loss_fn
+        self.optimizer = optimizer
+        self.strategy = strategy
+        self.mesh = mesh if mesh is not None else create_mesh(dp=1, fsdp=-1, tp=1)
+        self.logger = MetricsLogger(log_dir, log_interval)
+        self.ckpt = CheckpointManager(checkpoint_dir, max_checkpoints) if checkpoint_dir else None
+        self._step_fn = None
+
+    def shard_params(self, params: Any) -> Tuple[Any, Any]:
+        if self.strategy == "fsdp":
+            shardings = fsdp_sharding(params, self.mesh)
+        else:
+            shardings = replicated_sharding(params, self.mesh)
+        # copy so the donated train step never deletes the caller's arrays
+        params = jax.tree_util.tree_map(jnp.array, params)
+        return jax.device_put(params, shardings), shardings
+
+    def init_state(self, params: Any) -> Dict[str, Any]:
+        params, _ = self.shard_params(params)
+        opt_state = self.optimizer.init(params)
+        return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+
+    def restore_or_init(self, params: Any) -> Dict[str, Any]:
+        state = self.init_state(params)
+        if self.ckpt is not None and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            print(f"resumed from checkpoint step {int(state['step'])}", flush=True)
+        return state
+
+    def _build_step(self):
+        optimizer = self.optimizer
+        loss_fn = self.loss_fn
+
+        def step(state, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], batch, rng
+            )
+            updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            return new_state, {"loss": loss, **aux}
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def shard_batch(self, batch: Any) -> Any:
+        sharding = batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        )
+
+    def fit(
+        self,
+        state: Dict[str, Any],
+        data: Iterable,
+        num_steps: int,
+        rng: Optional[jax.Array] = None,
+        checkpoint_every: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        data_iter = iter(data)
+        t0 = time.perf_counter()
+        items = 0
+        with self.mesh:
+            for i in range(num_steps):
+                batch = next(data_iter)
+                if isinstance(batch, tuple) and isinstance(batch[0], str):
+                    batch = batch[1]  # MultiDataLoader yields (name, batch)
+                batch = self.shard_batch(batch)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self._step_fn(state, batch, step_rng)
+                leaves = jax.tree_util.tree_leaves(batch)
+                items += leaves[0].shape[0] if leaves else 0
+                step = int(state["step"])
+                dt = time.perf_counter() - t0
+                self.logger.log(step, {**metrics, "items_per_sec": items / max(dt, 1e-9)})
+                if self.ckpt is not None and checkpoint_every and step % checkpoint_every == 0:
+                    self.ckpt.save(step, jax.device_get(state))
+        return state
