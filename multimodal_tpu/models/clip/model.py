@@ -68,6 +68,50 @@ def clip_vit_b32(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CL
     return CLIP(vision_encoder, text_encoder)
 
 
+def _clip_resnet(layers, output_dim, heads, width, text_kwargs, input_resolution=224,
+                 dtype=jnp.float32, param_dtype=jnp.float32) -> CLIP:
+    from multimodal_tpu.models.clip.resnet_encoder import ResNetForCLIP
+
+    vision_encoder = ResNetForCLIP(
+        layers=layers, output_dim=output_dim, heads=heads, width=width,
+        input_resolution=input_resolution, dtype=dtype, param_dtype=param_dtype,
+    )
+    text_encoder = CLIPTextEncoder(dtype=dtype, param_dtype=param_dtype, **text_kwargs)
+    return CLIP(vision_encoder, text_encoder)
+
+
+def clip_rn50(**kw: Any) -> CLIP:
+    return _clip_resnet((3, 4, 6, 3), 1024, 32, 64, dict(embedding_dim=1024), **kw)
+
+
+def clip_rn101(**kw: Any) -> CLIP:
+    return _clip_resnet((3, 4, 23, 3), 512, 32, 64, dict(embedding_dim=512), **kw)
+
+
+def clip_rn50x4(**kw: Any) -> CLIP:
+    return _clip_resnet(
+        (4, 6, 10, 6), 640, 40, 80,
+        dict(embedding_dim=640, width=640, dim_feedforward=2560, heads=10),
+        input_resolution=288, **kw,
+    )
+
+
+def clip_rn50x16(**kw: Any) -> CLIP:
+    return _clip_resnet(
+        (6, 8, 18, 8), 768, 48, 96,
+        dict(embedding_dim=768, width=768, dim_feedforward=3072, heads=12),
+        input_resolution=384, **kw,
+    )
+
+
+def clip_rn50x64(**kw: Any) -> CLIP:
+    return _clip_resnet(
+        (3, 15, 36, 10), 1024, 64, 128,
+        dict(embedding_dim=1024, width=1024, dim_feedforward=4096, heads=16),
+        input_resolution=448, **kw,
+    )
+
+
 def clip_vit_l14(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
     vision_encoder = CLIPViTEncoder(
         image_size=224, patch_size=14, layers=24, heads=16, width=1024,
