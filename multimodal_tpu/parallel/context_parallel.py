@@ -1,0 +1,78 @@
+"""Context/sequence parallelism (new capability vs the reference, SURVEY §5.7).
+
+The reference has no long-context support (77/197/1024-token sequences).
+This module provides sequence-axis parallel attention over a ``cp`` mesh
+axis:
+
+  - ``context_parallel_attention``: queries stay sharded on the sequence
+    axis; K/V are ring-rotated with ``jax.lax.ppermute`` so each device sees
+    one K/V block per step while compute overlaps communication (ring
+    attention with online-softmax merging — the collective rides ICI).
+  - ``gather_kv_attention``: simpler variant that all-gathers K/V once
+    (cheaper at moderate sequence lengths).
+
+Both are meant to run inside ``shard_map`` with sequence-sharded inputs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _block_attn(q, k, v, scale):
+    """Unnormalized block attention: returns (acc, m, l) for online merging."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(jnp.float32)
+    return acc, m, l
+
+
+def gather_kv_attention(q, k, v, axis_name: str, sm_scale: Optional[float] = None):
+    """All-gather K/V over the cp axis, attend locally-sharded queries."""
+    scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_full, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v_full)
+
+
+def context_parallel_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Ring attention: K/V blocks rotate around the cp ring via ppermute;
+    per-block partial softmax statistics are merged online (flash-style), so
+    the full sequence never materializes on one device.
+
+    q, k, v: (b, h, local_seq, d) — the local sequence shard.
+    """
+    scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    acc, m, l = _block_attn(q, k, v, scale)
+
+    def body(i, carry):
+        acc, m, l, k_blk, v_blk = carry
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        acc_i, m_i, l_i = _block_attn(q, k_blk, v_blk, scale)
+        m_new = jnp.maximum(m, m_i)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_i - m_new)
+        acc = acc * alpha + acc_i * beta
+        l = l * alpha + l_i * beta
+        return acc, m_new, l, k_blk, v_blk
+
+    acc, m, l, _, _ = jax.lax.fori_loop(0, n - 1, body, (acc, m, l, k, v))
+    return (acc / l).astype(q.dtype)

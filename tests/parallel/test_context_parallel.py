@@ -1,0 +1,43 @@
+"""Context-parallel (ring) attention equivalence on the 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multimodal_tpu.parallel.context_parallel import (
+    context_parallel_attention,
+    gather_kv_attention,
+)
+
+from tests.test_utils import assert_expected
+
+
+def _full_attention(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_ring_attention_matches_full():
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ("cp",))
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 4, 64, 16).astype(np.float32)
+    k = rng.randn(2, 4, 64, 16).astype(np.float32)
+    v = rng.randn(2, 4, 64, 16).astype(np.float32)
+    ref = _full_attention(q, k, v)
+
+    for fn in (context_parallel_attention, gather_kv_attention):
+        sharded = shard_map(
+            lambda q_, k_, v_: fn(q_, k_, v_, "cp"),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp"), P(None, None, "cp"), P(None, None, "cp")),
+            out_specs=P(None, None, "cp"),
+        )
+        out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        assert_expected(out, ref, rtol=2e-4, atol=2e-5)
