@@ -109,6 +109,97 @@ def clip_params_from_torch(
     }
 
 
+def _fused_qkv(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """Separate torch q/k/v linears -> one fused (E, 3E) kernel."""
+    kernel = np.concatenate(
+        [
+            _t2j(sd[f"{prefix}.query.weight"]).T,
+            _t2j(sd[f"{prefix}.key.weight"]).T,
+            _t2j(sd[f"{prefix}.value.weight"]).T,
+        ],
+        axis=1,
+    )
+    bias = np.concatenate(
+        [
+            _t2j(sd[f"{prefix}.query.bias"]),
+            _t2j(sd[f"{prefix}.key.bias"]),
+            _t2j(sd[f"{prefix}.value.bias"]),
+        ]
+    )
+    return {"kernel": kernel, "bias": bias}
+
+
+def _flava_encoder_layers(sd: Mapping, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """Reference FLAVA-variant TransformerEncoder (models/flava/transformer.py)
+    -> framework TransformerEncoder params (fused QKV)."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layer.{i}"
+        out[f"layer_{i}"] = {
+            "attention": {
+                "input_proj": _fused_qkv(sd, f"{p}.attention"),
+                "output_proj": _linear(sd, f"{p}.attention.output"),
+            },
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.feedforward.model.0"),
+                "out": _linear(sd, f"{p}.feedforward.model.2"),
+            },
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.attention_layernorm"),
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.feedforward_layernorm"),
+        }
+    return out
+
+
+def _flava_tower(sd: Mapping, prefix: str, n_layers: int, kind: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {
+        "encoder": _flava_encoder_layers(sd, f"{prefix}.encoder", n_layers),
+        "layernorm": _fp32_layernorm(sd, f"{prefix}.layernorm"),
+        "pooler": {"dense": _linear(sd, f"{prefix}.pooler.dense")},
+    }
+    if kind == "image":
+        out["embeddings"] = {
+            "cls_token": _t2j(sd[f"{prefix}.embeddings.cls_token"]),
+            "position_embeddings": _t2j(sd[f"{prefix}.embeddings.position_embeddings"]),
+            "patch_projection": _conv2d_nchw(
+                sd, f"{prefix}.embeddings.patch_embeddings.projection"
+            ),
+        }
+        if f"{prefix}.embeddings.mask_token" in sd:
+            out["embeddings"]["mask_token"] = _t2j(sd[f"{prefix}.embeddings.mask_token"])
+    elif kind == "text":
+        out["embeddings"] = {
+            "word_embeddings": _embedding(sd, f"{prefix}.embeddings.word_embeddings"),
+            "position_embeddings": _embedding(sd, f"{prefix}.embeddings.position_embeddings"),
+            "token_type_embeddings": _embedding(sd, f"{prefix}.embeddings.token_type_embeddings"),
+            "layer_norm": _fp32_layernorm(sd, f"{prefix}.embeddings.layer_norm"),
+        }
+    elif kind == "mm":
+        out["cls_token"] = _t2j(sd[f"{prefix}.cls_token"])
+    return out
+
+
+def flava_params_from_torch(
+    state_dict: Mapping,
+    image_layers: int = 12,
+    text_layers: int = 12,
+    mm_layers: int = 6,
+) -> Dict[str, Any]:
+    """Reference FLAVAModel state dict -> Flax params
+    (models/flava/model.py:106 naming)."""
+    sd = state_dict
+    return {
+        "params": {
+            "image_encoder": _flava_tower(sd, "image_encoder", image_layers, "image"),
+            "text_encoder": _flava_tower(sd, "text_encoder", text_layers, "text"),
+            "mm_encoder": _flava_tower(sd, "mm_encoder", mm_layers, "mm"),
+            "image_to_mm_projection": _linear(sd, "image_to_mm_projection"),
+            "text_to_mm_projection": _linear(sd, "text_to_mm_projection"),
+            "text_projection": _linear(sd, "text_projection"),
+            "image_projection": _linear(sd, "image_projection"),
+        }
+    }
+
+
 def load_torch_checkpoint(path: str) -> Mapping:
     import torch
 
