@@ -77,11 +77,18 @@ class Trainer:
         log_dir: Optional[str] = None,
         log_interval: int = 10,
         max_checkpoints: int = 3,
+        skip_nonfinite_updates: bool = False,
+        grad_accum_steps: int = 1,
     ):
         if strategy not in ("ddp", "fsdp"):
             raise ValueError(f"unknown strategy {strategy}")
         self.loss_fn = loss_fn
+        if grad_accum_steps > 1:
+            # microbatch accumulation (analog of omnivore's
+            # --video-grad-accum-iter) as an optax wrapper
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accum_steps)
         self.optimizer = optimizer
+        self.skip_nonfinite_updates = skip_nonfinite_updates
         self.strategy = strategy
         self.mesh = mesh if mesh is not None else create_mesh(dp=1, fsdp=-1, tp=1)
         self.logger = MetricsLogger(log_dir, log_interval)
@@ -112,6 +119,7 @@ class Trainer:
     def _build_step(self):
         optimizer = self.optimizer
         loss_fn = self.loss_fn
+        skip_nonfinite = self.skip_nonfinite_updates
 
         def step(state, batch, rng):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -119,6 +127,22 @@ class Trainer:
             )
             updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            if skip_nonfinite:
+                # failure detection: a non-finite loss/grad step is dropped
+                # wholesale (params/opt state keep their previous values)
+                grads_ok = jnp.isfinite(loss)
+                for g in jax.tree_util.tree_leaves(grads):
+                    grads_ok = jnp.logical_and(grads_ok, jnp.all(jnp.isfinite(g)))
+                params = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(grads_ok, new, old),
+                    params, state["params"],
+                )
+                opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(grads_ok, new, old)
+                    if hasattr(new, "shape") else new,
+                    opt_state, state["opt_state"],
+                )
+                aux = {**aux, "nonfinite_skipped": 1.0 - grads_ok.astype(jnp.float32)}
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
@@ -156,8 +180,8 @@ class Trainer:
                 batch = self.shard_batch(batch)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = self._step_fn(state, batch, step_rng)
-                leaves = jax.tree_util.tree_leaves(batch)
-                items += leaves[0].shape[0] if leaves else 0
+                leaves = [l for l in jax.tree_util.tree_leaves(batch) if jnp.ndim(l) > 0]
+                items += leaves[0].shape[0] if leaves else 1
                 step = int(state["step"])
                 dt = time.perf_counter() - t0
                 self.logger.log(step, {**metrics, "items_per_sec": items / max(dt, 1e-9)})

@@ -1,0 +1,62 @@
+"""NaN-guard, grad accumulation, EMA tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_tpu.parallel.mesh import create_mesh
+from multimodal_tpu.training.ema import init_ema, update_ema
+from multimodal_tpu.training.trainer import Trainer
+
+from tests.test_utils import assert_expected, rng
+
+
+def test_nan_guard_skips_bad_steps():
+    mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    params0 = {"w": jnp.ones(4)}
+
+    def loss_fn(params, batch, _rng):
+        loss = jnp.sum(params["w"] * batch["x"]) * batch["scale"]
+        return loss, {}
+
+    trainer = Trainer(loss_fn, optax.sgd(0.1), strategy="ddp", mesh=mesh,
+                      skip_nonfinite_updates=True)
+    state = trainer.init_state(params0)
+
+    def data():
+        yield {"x": np.ones(4, np.float32), "scale": np.float32(1.0)}
+        yield {"x": np.ones(4, np.float32), "scale": np.float32(np.nan)}
+        yield {"x": np.ones(4, np.float32), "scale": np.float32(1.0)}
+
+    state = trainer.fit(state, data(), num_steps=3)
+    # 2 good sgd steps of -0.1 each; the NaN step was dropped
+    assert_expected(state["params"]["w"], np.full(4, 1.0 - 0.2), atol=1e-6)
+
+
+def test_grad_accum():
+    mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    params0 = {"w": jnp.zeros(2)}
+
+    def loss_fn(params, batch, _rng):
+        return jnp.sum(params["w"] * batch["x"]), {}
+
+    trainer = Trainer(loss_fn, optax.sgd(1.0), strategy="ddp", mesh=mesh,
+                      grad_accum_steps=2)
+    state = trainer.init_state(params0)
+
+    def data():
+        for _ in range(4):
+            yield {"x": np.ones(2, np.float32)}
+
+    state = trainer.fit(state, data(), num_steps=4)
+    # 4 microbatches = 2 real updates of mean-grad 1.0 * lr 1.0
+    assert_expected(state["params"]["w"], np.full(2, -2.0), atol=1e-6)
+
+
+def test_ema_tracking():
+    params = {"w": jnp.ones(3)}
+    ema = init_ema(params)
+    new_params = {"w": jnp.zeros(3)}
+    ema = update_ema(ema, new_params, decay=0.9)
+    assert_expected(ema["w"], np.full(3, 0.9), atol=1e-6)
