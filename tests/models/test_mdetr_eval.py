@@ -1,0 +1,205 @@
+"""MDETR eval infrastructure: Flickr postprocessor, Recall@k, optimizer."""
+
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multimodal_tpu.examples.mdetr import (
+    Flickr30kEntitiesRecallEvaluator,
+    RecallTracker,
+    box_iou_xyxy,
+    build_mdetr_optimizer,
+    get_annotations,
+    get_sentence_data,
+    mdetr_lr_schedules,
+    mdetr_param_labels,
+    merge_boxes,
+    post_process_flickr,
+)
+
+from tests.test_utils import assert_expected, rng
+
+
+def _naive_post_process(logits, bbox, sizes, pos_map, per_sample):
+    """Host-loop replica of the reference algorithm (postprocessors.py:44-109)."""
+    b = sizes.shape[0]
+    prob = np.exp(logits - logits.max(-1, keepdims=True))
+    prob = prob / prob.sum(-1, keepdims=True)
+    cx, cy, w, h = np.moveaxis(bbox, -1, 0)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    scale = np.stack([sizes[:, 1], sizes[:, 0], sizes[:, 1], sizes[:, 0]], 1)
+    boxes = boxes * scale[:, None, :]
+    pos = pos_map > 1e-6
+    out = [[] for _ in range(b)]
+    idx = 0
+    for sample, n in enumerate(per_sample):
+        for _ in range(n):
+            scores = (pos[idx][None, :] * prob[sample]).max(-1)
+            order = np.argsort(-scores, kind="stable")
+            out[sample].append(boxes[sample][order].tolist())
+            idx += 1
+    return out
+
+
+def test_post_process_flickr_matches_naive_loop():
+    key = rng(0)
+    b, q, c = 3, 8, 12
+    logits = np.asarray(jax.random.normal(key, (b, q, c)))
+    bbox = np.asarray(jax.random.uniform(rng(1), (b, q, 4), minval=0.1, maxval=0.4))
+    sizes = np.array([[480, 640], [320, 320], [600, 800]], np.float32)
+    per_sample = [2, 1, 3]
+    pos_map = (np.asarray(jax.random.uniform(rng(2), (6, c))) > 0.7).astype(np.float32)
+    pos_map[pos_map.sum(-1) == 0, 0] = 1.0  # every phrase has >=1 positive token
+
+    got = post_process_flickr(jnp.asarray(logits), jnp.asarray(bbox),
+                              jnp.asarray(sizes), jnp.asarray(pos_map), per_sample)
+    want = _naive_post_process(logits, bbox, sizes, pos_map, per_sample)
+    assert [len(s) for s in got] == per_sample
+    for gs, ws in zip(got, want):
+        for gp, wp in zip(gs, ws):
+            assert_expected(np.asarray(gp), np.asarray(wp), atol=1e-4, rtol=1e-4)
+
+
+def test_post_process_flickr_empty_and_mismatch():
+    logits = jnp.zeros((1, 4, 6))
+    bbox = jnp.full((1, 4, 4), 0.25)
+    sizes = jnp.array([[100.0, 100.0]])
+    out = post_process_flickr(logits, bbox, sizes, jnp.zeros((0, 6)), [0])
+    assert out == [[]]
+    with pytest.raises(ValueError):
+        post_process_flickr(logits, bbox, sizes, jnp.zeros((2, 6)), [1])
+
+
+def test_box_iou():
+    a = np.array([[0, 0, 10, 10]])
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = box_iou_xyxy(a, b)
+    assert_expected(iou[0], np.array([1.0, 25 / 175, 0.0]), atol=1e-6)
+
+
+def test_recall_tracker_and_evaluator():
+    images = {
+        "img1": {
+            "boxes": {"p1": [[0, 0, 10, 10]], "p2": [[50, 50, 60, 60]]},
+            "sentences": [
+                {"sentence": "a b", "phrases": [
+                    {"phrase_id": "p1", "phrase": "a", "phrase_type": ["people"]},
+                    {"phrase_id": "p2", "phrase": "b", "phrase_type": ["scene"]},
+                ]},
+                # second sentence: phrase without GT box -> filtered -> no slot
+                {"sentence": "c", "phrases": [
+                    {"phrase_id": "missing", "phrase": "c", "phrase_type": ["other"]},
+                ]},
+            ],
+        },
+    }
+    ev = Flickr30kEntitiesRecallEvaluator.from_annotations(images, topk=(1, 5, -1))
+    assert ev.all_ids == ["img1_0"]
+
+    # phrase p1: rank-1 hit; phrase p2: first hit at rank 3 (counts @5, not @1)
+    far = [100, 100, 110, 110]
+    preds = [{
+        "image_id": "img1", "sentence_id": 0,
+        "boxes": [
+            [[0, 0, 10, 10], far, far],
+            [far, far, [50, 50, 60, 60]],
+        ],
+    }]
+    report = ev.evaluate(preds)
+    assert report[1]["all"] == 0.5 and report[5]["all"] == 1.0 and report[-1]["all"] == 1.0
+    assert report[1]["people"] == 1.0 and report[1]["scene"] == 0.0
+
+    # missing a required sentence raises (ref flickr_eval.py:308-316)
+    with pytest.raises(RuntimeError):
+        ev.evaluate([])
+
+
+def test_sentence_and_annotation_parsers(tmp_path):
+    sent_file = tmp_path / "s.txt"
+    sent_file.write_text(
+        "[/EN#283585/people A man] rides [/EN#283586/animals a horse] .\n"
+    )
+    parsed = get_sentence_data(sent_file)
+    assert parsed[0]["sentence"] == "A man rides a horse ."
+    assert parsed[0]["phrases"][0] == {
+        "first_word_index": 0, "phrase_id": "283585",
+        "phrase_type": ["people"], "phrase": "A man",
+    }
+    assert parsed[0]["phrases"][1]["first_word_index"] == 3
+
+    xml = textwrap.dedent("""\
+        <annotation>
+          <size><width>640</width><height>480</height><depth>3</depth></size>
+          <object><name>283585</name>
+            <bndbox><xmin>1</xmin><ymin>2</ymin><xmax>30</xmax><ymax>40</ymax></bndbox>
+          </object>
+          <object><name>283585</name>
+            <bndbox><xmin>5</xmin><ymin>5</ymin><xmax>50</xmax><ymax>20</ymax></bndbox>
+          </object>
+          <object><name>999</name><nobndbox>1</nobndbox><scene>0</scene></object>
+        </annotation>
+    """)
+    ann_file = tmp_path / "a.xml"
+    ann_file.write_text(xml)
+    info = get_annotations(ann_file)
+    assert info["width"] == 640 and info["height"] == 480
+    assert info["boxes"]["283585"] == [[1, 2, 30, 40], [5, 5, 50, 20]]
+    assert info["nobox"] == ["999"]
+    assert merge_boxes(info["boxes"]["283585"]) == [[1, 2, 50, 40]]
+
+
+def test_mdetr_param_labels_and_schedules():
+    params = {
+        "backbone": {"conv": jnp.ones(2)},
+        "text_encoder": {"emb": jnp.ones(2)},
+        "transformer": {"w": jnp.ones(2)},
+    }
+    labels = mdetr_param_labels(params)
+    assert labels["backbone"]["conv"] == "backbone"
+    assert labels["text_encoder"]["emb"] == "text_encoder"
+    assert labels["transformer"]["w"] == "rest"
+
+    # linear_with_warmup: backbone/rest step-decay, text linear warmup+decay
+    sched = mdetr_lr_schedules(
+        "linear_with_warmup", lr=1e-4, lr_backbone=1e-5, text_encoder_lr=5e-5,
+        num_training_steps=100, steps_per_epoch=10, lr_drop=5, epochs=10,
+        fraction_warmup_steps=0.1,
+    )
+    assert_expected(float(sched.text_encoder(5)), 5e-5 * 0.5, rtol=1e-6)   # warmup
+    assert_expected(float(sched.text_encoder(55)), 5e-5 * 0.5, rtol=1e-6)  # decay
+    assert_expected(float(sched.rest(0)), 1e-4, rtol=1e-6)
+    assert_expected(float(sched.rest(60)), 1e-5, rtol=1e-5)  # epoch 6 -> 0.1^1
+    assert_expected(float(sched.backbone(60)), 1e-6, rtol=1e-5)
+
+    # multistep halves at lr_drop then every 50 epochs
+    ms = mdetr_lr_schedules(
+        "multistep", lr=1.0, lr_backbone=1.0, text_encoder_lr=1.0,
+        num_training_steps=2000, steps_per_epoch=1, lr_drop=10, epochs=120,
+    )
+    assert_expected(float(ms.rest(9)), 1.0, rtol=1e-6)
+    assert_expected(float(ms.rest(10)), 0.5, rtol=1e-6)
+    assert_expected(float(ms.rest(60)), 0.25, rtol=1e-6)
+
+
+def test_build_mdetr_optimizer_group_lrs():
+    params = {
+        "backbone": jnp.ones(2),
+        "text_encoder": jnp.ones(2),
+        "head": jnp.ones(2),
+    }
+    sched = mdetr_lr_schedules(
+        "step", lr=1e-2, lr_backbone=1e-3, text_encoder_lr=1e-4,
+        num_training_steps=10, steps_per_epoch=100, lr_drop=100, epochs=1,
+    )
+    opt = build_mdetr_optimizer(params, sched, weight_decay=0.0)
+    state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    # adam with constant grads -> unit-scale direction * group lr
+    assert_expected(float(-updates["head"][0]), 1e-2, rtol=1e-3)
+    assert_expected(float(-updates["backbone"][0]), 1e-3, rtol=1e-3)
+    assert_expected(float(-updates["text_encoder"][0]), 1e-4, rtol=1e-3)
