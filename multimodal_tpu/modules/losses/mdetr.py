@@ -245,3 +245,96 @@ def mdetr_loss(
             valid, num_boxes, temperature,
         )
     return MDETRLossOutput(st, bl.l1_loss, bl.giou_loss, ca)
+
+
+# ------------------------------------------------------------ VQA head losses
+
+def masked_dict_cross_entropy(
+    pred_dict: Dict[str, jnp.ndarray],     # each (b, num_answers_k)
+    label_dict: Dict[str, jnp.ndarray],    # each (b,) int labels
+    mask_dict: Optional[Dict[str, jnp.ndarray]] = None,  # each (b,) bool
+) -> Dict[str, jnp.ndarray]:
+    """Per-answer-head cross entropy gated by answer-type mask.
+
+    Parity with reference ``examples/mdetr/loss.py:157-176``, with the
+    intended per-sample masking semantics: each head's CE is averaged over
+    the samples whose answer type activates that head (the reference's early
+    ``reduction='mean'`` collapses the batch before its mask can apply). A
+    head with no active samples contributes 0.
+    """
+    if pred_dict.keys() != label_dict.keys():
+        raise ValueError("Keys of pred_dict and label_dict must match")
+    losses = {}
+    for k, logits in pred_dict.items():
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_sample = -jnp.take_along_axis(
+            logp, label_dict[k][:, None], axis=-1
+        )[:, 0]
+        if mask_dict is None or mask_dict.get(k) is None:
+            losses[f"{k}_loss"] = jnp.mean(per_sample)
+        else:
+            mask = mask_dict[k].astype(per_sample.dtype)
+            losses[f"{k}_loss"] = jnp.sum(per_sample * mask) / jnp.maximum(
+                jnp.sum(mask), 1.0
+            )
+    return losses
+
+
+def masked_dict_accuracy(
+    pred_dict: Dict[str, jnp.ndarray],
+    label_dict: Dict[str, jnp.ndarray],
+    mask_dict: Optional[Dict[str, jnp.ndarray]] = None,
+    answer_type_key: str = "answer_type",
+) -> Dict[str, jnp.ndarray]:
+    """Per-head masked accuracy + combined GQA accuracy.
+
+    Parity with reference ``examples/mdetr/loss.py:125-154``:
+    ``answer_total_accuracy`` = answer-type accuracy x (mask-count-weighted
+    mean of the per-type head accuracies) / batch size. Heads with no active
+    samples report accuracy 1.0, as in the reference.
+    """
+    accuracies = {}
+    mask_counts = {}
+    for k, logits in pred_dict.items():
+        correct = (jnp.argmax(logits, axis=-1) == label_dict[k]).astype(jnp.float32)
+        if mask_dict is None or mask_dict.get(k) is None:
+            mask = jnp.ones_like(correct)
+        else:
+            mask = mask_dict[k].astype(jnp.float32)
+        count = jnp.sum(mask)
+        mask_counts[k] = count
+        accuracies[f"{k}_accuracy"] = jnp.where(
+            count > 0, jnp.sum(correct * mask) / jnp.maximum(count, 1.0), 1.0
+        )
+    weighted = sum(
+        accuracies[f"{k}_accuracy"] * mask_counts[k]
+        for k in pred_dict if k != answer_type_key
+    )
+    batch = label_dict[answer_type_key].shape[0]
+    accuracies["answer_total_accuracy"] = (
+        accuracies[f"{answer_type_key}_accuracy"] * weighted / batch
+    )
+    return accuracies
+
+
+def build_weight_dict(
+    ce_loss_coef: float = 1.0,
+    bbox_loss_coef: float = 5.0,
+    giou_loss_coef: float = 2.0,
+    qa_loss_coef: float = 1.0,
+    contrastive_align_loss_coef: float = 1.0,
+    vqa_keys=None,
+    include_contrastive_loss: bool = True,
+) -> Dict[str, float]:
+    """Loss-term weights (reference ``examples/mdetr/loss.py:317-332``)."""
+    weights = {
+        "soft_token_loss": ce_loss_coef,
+        "l1_loss": bbox_loss_coef,
+        "giou_loss": giou_loss_coef,
+    }
+    if vqa_keys is not None:
+        for k in vqa_keys:
+            weights[f"{k}_loss"] = qa_loss_coef
+    if include_contrastive_loss:
+        weights["contrastive_alignment_loss"] = contrastive_align_loss_coef
+    return weights

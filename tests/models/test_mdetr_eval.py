@@ -203,3 +203,44 @@ def test_build_mdetr_optimizer_group_lrs():
     assert_expected(float(-updates["head"][0]), 1e-2, rtol=1e-3)
     assert_expected(float(-updates["backbone"][0]), 1e-3, rtol=1e-3)
     assert_expected(float(-updates["text_encoder"][0]), 1e-4, rtol=1e-3)
+
+
+def test_masked_dict_cross_entropy_and_accuracy():
+    from multimodal_tpu.modules.losses.mdetr import (
+        build_weight_dict,
+        masked_dict_accuracy,
+        masked_dict_cross_entropy,
+    )
+
+    big = 10.0
+    # answer_type: 3/4 correct (all samples active)
+    at_logits = jnp.array([[big, 0], [big, 0], [0, big], [big, 0]])
+    at_labels = jnp.array([0, 0, 1, 1])
+    # answer_obj: active for first two samples only; 1/2 correct
+    obj_logits = jnp.array([[big, 0, 0], [0, big, 0], [big, 0, 0], [big, 0, 0]])
+    obj_labels = jnp.array([0, 0, 1, 2])
+    preds = {"answer_type": at_logits, "answer_obj": obj_logits}
+    labels = {"answer_type": at_labels, "answer_obj": obj_labels}
+    masks = {"answer_type": jnp.ones(4, bool),
+             "answer_obj": jnp.array([True, True, False, False])}
+
+    acc = jax.jit(masked_dict_accuracy)(preds, labels, masks)
+    assert_expected(float(acc["answer_type_accuracy"]), 0.75, rtol=1e-6)
+    assert_expected(float(acc["answer_obj_accuracy"]), 0.5, rtol=1e-6)
+    # total = at_acc * (obj_acc * mask_count) / batch = 0.75 * (0.5*2) / 4
+    assert_expected(float(acc["answer_total_accuracy"]), 0.1875, rtol=1e-6)
+
+    ce = jax.jit(masked_dict_cross_entropy)(preds, labels, masks)
+    # CE averaged over the masked samples only
+    per = -jax.nn.log_softmax(obj_logits)[jnp.arange(4), obj_labels]
+    assert_expected(float(ce["answer_obj_loss"]), float((per[0] + per[1]) / 2), rtol=1e-5)
+
+    # empty mask -> accuracy 1.0, loss 0.0
+    empty = {"answer_type": jnp.ones(4, bool), "answer_obj": jnp.zeros(4, bool)}
+    acc0 = masked_dict_accuracy(preds, labels, empty)
+    assert_expected(float(acc0["answer_obj_accuracy"]), 1.0, rtol=1e-6)
+    ce0 = masked_dict_cross_entropy(preds, labels, empty)
+    assert_expected(float(ce0["answer_obj_loss"]), 0.0, atol=1e-6)
+
+    w = build_weight_dict(vqa_keys=["answer_type", "answer_obj"], qa_loss_coef=0.5)
+    assert w["answer_obj_loss"] == 0.5 and w["l1_loss"] == 5.0
