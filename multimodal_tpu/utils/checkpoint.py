@@ -207,3 +207,143 @@ def load_torch_checkpoint(path: str) -> Mapping:
     if isinstance(ckpt, Mapping) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     return ckpt
+
+
+def _qkv_attention(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """MultiHeadAttentionWithCache-style separate q/k/v/output projections."""
+    return {
+        "q_proj": _linear(sd, f"{prefix}.q_proj"),
+        "k_proj": _linear(sd, f"{prefix}.k_proj"),
+        "v_proj": _linear(sd, f"{prefix}.v_proj"),
+        "output_proj": _linear(sd, f"{prefix}.output_proj"),
+    }
+
+
+def _coca_encoder_layers(sd: Mapping, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """Reference shared TransformerEncoder (fused input_proj) -> ours."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layer.{i}"
+        out[f"layer_{i}"] = {
+            "attention": {
+                "input_proj": _linear(sd, f"{p}.attention.input_proj"),
+                "output_proj": _linear(sd, f"{p}.attention.output_proj"),
+            },
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.feedforward.model.0"),
+                "out": _linear(sd, f"{p}.feedforward.model.2"),
+            },
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.attention_layernorm"),
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.feedforward_layernorm"),
+        }
+    return out
+
+
+def _coca_decoder_layers(
+    sd: Mapping, prefix: str, n_layers: int, cross_attention: bool
+) -> Dict[str, Any]:
+    """Reference shared TransformerDecoder (separate q/k/v projections)."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layer.{i}"
+        layer: Dict[str, Any] = {
+            "attention": _qkv_attention(sd, f"{p}.attention"),
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.feedforward.model.0"),
+                "out": _linear(sd, f"{p}.feedforward.model.2"),
+            },
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.attention_layernorm"),
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.feedforward_layernorm"),
+        }
+        if cross_attention and f"{p}.cross_attention.q_proj.weight" in sd:
+            layer["cross_attention"] = _qkv_attention(sd, f"{p}.cross_attention")
+            layer["cross_attention_layernorm"] = _fp32_layernorm(
+                sd, f"{p}.cross_attention_layernorm"
+            )
+        out[f"layer_{i}"] = layer
+    return out
+
+
+def _attention_pooler(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    return {
+        "query": _t2j(sd[f"{prefix}.query"]),
+        "attn": _qkv_attention(sd, f"{prefix}.attn"),
+        "ln_q": _layernorm(sd, f"{prefix}.ln_q"),
+        "ln_k": _layernorm(sd, f"{prefix}.ln_k"),
+        "ln_post": _layernorm(sd, f"{prefix}.ln_post"),
+    }
+
+
+def coca_params_from_torch(
+    state_dict: Mapping,
+    vision_layers: int = 12,
+    text_layers: int = 12,
+    fusion_layers: int = 12,
+    num_poolers: int = 2,
+) -> Dict[str, Any]:
+    """Reference CoCa state dict -> Flax params.
+
+    Maps ``models/coca/coca_model.py:34`` (CoCaModel: vision_encoder /
+    text_decoder / multimodal_decoder / vision_pooler / vision_proj) onto
+    this framework's ``models/coca/coca_model.py`` module tree.
+    ``num_poolers=2`` for the cascaded pooler, 1 for parallel.
+    """
+    sd = state_dict
+    vision: Dict[str, Any] = {
+        "embeddings": {
+            "position_embeddings": _t2j(sd["vision_encoder.embeddings.position_embeddings"]),
+            "conv_projection": _conv2d_nchw(sd, "vision_encoder.embeddings.conv_projection"),
+        },
+        "encoder": _coca_encoder_layers(sd, "vision_encoder.encoder", vision_layers),
+    }
+    if "vision_encoder.embeddings.cls_token" in sd:
+        vision["embeddings"]["cls_token"] = _t2j(sd["vision_encoder.embeddings.cls_token"])
+    if "vision_encoder.encoder.final_layer_norm.weight" in sd:
+        vision["encoder"]["final_layer_norm"] = _fp32_layernorm(
+            sd, "vision_encoder.encoder.final_layer_norm"
+        )
+
+    text: Dict[str, Any] = {
+        "embeddings": {
+            "token_embeddings": _embedding(sd, "text_decoder.embeddings.token_embeddings"),
+            "position_embeddings": _t2j(sd["text_decoder.embeddings.position_embeddings"]),
+        },
+        "transformer_decoder": _coca_decoder_layers(
+            sd, "text_decoder.transformer_decoder", text_layers, cross_attention=False
+        ),
+        "ln_final": _layernorm(sd, "text_decoder.ln_final"),
+        "text_projection": _linear(sd, "text_decoder.text_projection", bias=False),
+    }
+    if "text_decoder.embeddings.cls_embedding" in sd:
+        text["embeddings"]["cls_embedding"] = _t2j(sd["text_decoder.embeddings.cls_embedding"])
+
+    mm_decoder = _coca_decoder_layers(
+        sd, "multimodal_decoder.transformer_decoder", fusion_layers, cross_attention=True
+    )
+    if "multimodal_decoder.transformer_decoder.final_layer_norm.weight" in sd:
+        mm_decoder["final_layer_norm"] = _fp32_layernorm(
+            sd, "multimodal_decoder.transformer_decoder.final_layer_norm"
+        )
+    multimodal: Dict[str, Any] = {"transformer_decoder": mm_decoder}
+    if "multimodal_decoder.output_projection.weight" in sd:
+        multimodal["output_projection"] = _linear(
+            sd, "multimodal_decoder.output_projection", bias=False
+        )
+
+    if num_poolers > 1:
+        pooler = {
+            f"poolers_{i}": _attention_pooler(sd, f"vision_pooler.poolers.{i}")
+            for i in range(num_poolers)
+        }
+    else:
+        pooler = _attention_pooler(sd, "vision_pooler")
+
+    return {
+        "params": {
+            "vision_encoder": vision,
+            "text_decoder": text,
+            "multimodal_decoder": multimodal,
+            "vision_pooler": pooler,
+            "vision_proj": {"kernel": _t2j(sd["vision_proj.weight"]).T},
+        }
+    }
