@@ -289,19 +289,7 @@ def coca_params_from_torch(
     ``num_poolers=2`` for the cascaded pooler, 1 for parallel.
     """
     sd = state_dict
-    vision: Dict[str, Any] = {
-        "embeddings": {
-            "position_embeddings": _t2j(sd["vision_encoder.embeddings.position_embeddings"]),
-            "conv_projection": _conv2d_nchw(sd, "vision_encoder.embeddings.conv_projection"),
-        },
-        "encoder": _coca_encoder_layers(sd, "vision_encoder.encoder", vision_layers),
-    }
-    if "vision_encoder.embeddings.cls_token" in sd:
-        vision["embeddings"]["cls_token"] = _t2j(sd["vision_encoder.embeddings.cls_token"])
-    if "vision_encoder.encoder.final_layer_norm.weight" in sd:
-        vision["encoder"]["final_layer_norm"] = _fp32_layernorm(
-            sd, "vision_encoder.encoder.final_layer_norm"
-        )
+    vision = _vit_tower(sd, "vision_encoder", vision_layers)
 
     text: Dict[str, Any] = {
         "embeddings": {
@@ -345,5 +333,84 @@ def coca_params_from_torch(
             "multimodal_decoder": multimodal,
             "vision_pooler": pooler,
             "vision_proj": {"kernel": _t2j(sd["vision_proj.weight"]).T},
+        }
+    }
+
+
+def _vit_tower(sd: Mapping, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """Reference shared VisionTransformer tower -> ours (fused input_proj)."""
+    out: Dict[str, Any] = {
+        "embeddings": {
+            "position_embeddings": _t2j(sd[f"{prefix}.embeddings.position_embeddings"]),
+            "conv_projection": _conv2d_nchw(sd, f"{prefix}.embeddings.conv_projection"),
+        },
+        "encoder": _coca_encoder_layers(sd, f"{prefix}.encoder", n_layers),
+    }
+    if f"{prefix}.embeddings.cls_token" in sd:
+        out["embeddings"]["cls_token"] = _t2j(sd[f"{prefix}.embeddings.cls_token"])
+    if f"{prefix}.encoder.final_layer_norm.weight" in sd:
+        out["encoder"]["final_layer_norm"] = _fp32_layernorm(
+            sd, f"{prefix}.encoder.final_layer_norm"
+        )
+    return out
+
+
+def _qformer_layers(sd: Mapping, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """Reference QformerEncoder layers (models/blip2/qformer_layers.py:19)."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        layer: Dict[str, Any] = {
+            "self_attention": _qkv_attention(sd, f"{p}.self_attention"),
+            "self_attn_layernorm": _fp32_layernorm(sd, f"{p}.self_attn_layernorm"),
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.feedforward.model.0"),
+                "out": _linear(sd, f"{p}.feedforward.model.2"),
+            },
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.feedforward_layernorm"),
+            "feedforward_query": {
+                "hidden_0": _linear(sd, f"{p}.feedforward_query.model.0"),
+                "out": _linear(sd, f"{p}.feedforward_query.model.2"),
+            },
+            "feedforward_layernorm_query": _fp32_layernorm(
+                sd, f"{p}.feedforward_layernorm_query"
+            ),
+        }
+        if f"{p}.cross_attention.q_proj.weight" in sd:
+            layer["cross_attention"] = _qkv_attention(sd, f"{p}.cross_attention")
+            layer["cross_attn_layernorm"] = _fp32_layernorm(sd, f"{p}.cross_attn_layernorm")
+        out[f"layer_{i}"] = layer
+    return out
+
+
+def blip2_params_from_torch(
+    state_dict: Mapping,
+    vision_layers: int = 39,
+    qformer_layers: int = 12,
+) -> Dict[str, Any]:
+    """Reference BLIP2 state dict -> Flax params (models/blip2/blip2.py:38)."""
+    sd = state_dict
+    return {
+        "params": {
+            "query_tokens": _t2j(sd["query_tokens"]),
+            "vision_encoder": _vit_tower(sd, "vision_encoder", vision_layers),
+            "qformer": {
+                "head": {
+                    "linear_1": _linear(sd, "qformer.head.linear_1"),
+                    "layernorm": _layernorm(sd, "qformer.head.layernorm"),
+                    "linear_2": _linear(sd, "qformer.head.linear_2"),
+                },
+                "model": {
+                    "embeddings": {
+                        "token_embeddings": _embedding(sd, "qformer.model.embeddings.token_embeddings"),
+                        "position_embeddings": _embedding(sd, "qformer.model.embeddings.position_embeddings"),
+                        "layernorm": _fp32_layernorm(sd, "qformer.model.embeddings.layernorm"),
+                    },
+                    "encoder": _qformer_layers(sd, "qformer.model.encoder", qformer_layers),
+                },
+            },
+            "vision_proj": _linear(sd, "vision_proj"),
+            "text_proj": _linear(sd, "text_proj"),
+            "ln_vision": _layernorm(sd, "ln_vision"),
         }
     }
