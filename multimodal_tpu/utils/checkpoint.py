@@ -414,3 +414,34 @@ def blip2_params_from_torch(
             "ln_vision": _layernorm(sd, "ln_vision"),
         }
     }
+
+
+def mae_params_from_torch(
+    state_dict: Mapping,
+    encoder_layers: int = 12,
+    decoder_layers: int = 8,
+) -> Dict[str, Any]:
+    """Reference MaskedAutoEncoder state dict -> Flax params
+    (models/masked_auto_encoder/model.py:41 naming; ViT decoder only)."""
+    sd = state_dict
+    encoder = _coca_encoder_layers(sd, "encoder", encoder_layers)
+    encoder["final_layer_norm"] = _fp32_layernorm(sd, "encoder.final_layer_norm")
+    decoder = _coca_encoder_layers(sd, "decoder_transformer", decoder_layers)
+    decoder["final_layer_norm"] = _fp32_layernorm(sd, "decoder_transformer.final_layer_norm")
+    return {
+        "params": {
+            "embeddings": {
+                "cls_token": _t2j(sd["embeddings.cls_token"]),
+                "position_embeddings": _t2j(sd["embeddings.position_embeddings"]),
+                "conv_projection": _conv2d_nchw(sd, "embeddings.conv_projection"),
+            },
+            "encoder_transformer": encoder,
+            "decoder_embed": {
+                "mask_token": _t2j(sd["decoder_embed.mask_token"]),
+                "position_embeddings": _t2j(sd["decoder_embed.position_embeddings"]),
+                "decoder_embed": _linear(sd, "decoder_embed.decoder_embed"),
+            },
+            "decoder_transformer": decoder,
+            "decoder_pred": _linear(sd, "decoder_pred"),
+        }
+    }
