@@ -193,7 +193,10 @@ class MultiHeadAttention(nn.Module):
 
         out = merge_multihead(a)
         out = out.reshape((out.shape[0],) + latent_shape + (out.shape[-1],))
-        out = dense(self.dim_q, "output")(out)
+        # output projection always has a bias, regardless of add_bias
+        # (reference attention.py:114)
+        out = nn.Dense(self.dim_q, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="output")(out)
 
         if use_cache and return_attn_weights:
             return out, present, probs

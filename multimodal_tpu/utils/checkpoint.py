@@ -445,3 +445,99 @@ def mae_params_from_torch(
             "decoder_pred": _linear(sd, "decoder_pred"),
         }
     }
+
+
+def _conv3d_ncdhw(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    # torch (out, in, kt, kh, kw) -> flax (kt, kh, kw, in, out)
+    out = {"kernel": _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 4, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t2j(sd[f"{prefix}.bias"])
+    return out
+
+
+def _convt3d(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    # torch ConvTranspose3d (in, out, k...) convolves with a FLIPPED kernel
+    # relative to flax nn.ConvTranspose (fractionally-strided plain conv)
+    w = _t2j(sd[f"{prefix}.weight"]).transpose(2, 3, 4, 0, 1)
+    out = {"kernel": np.flip(w, axis=(0, 1, 2)).copy()}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t2j(sd[f"{prefix}.bias"])
+    return out
+
+
+def _batchnorm(sd: Mapping, prefix: str):
+    params = {"scale": _t2j(sd[f"{prefix}.weight"]), "bias": _t2j(sd[f"{prefix}.bias"])}
+    stats = {"mean": _t2j(sd[f"{prefix}.running_mean"]), "var": _t2j(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _attention_residual_block(sd: Mapping, prefix: str, n_axes: int = 3):
+    """Reference AttentionResidualBlock (models/video_gpt/video_vqvae.py:406):
+    Sequential(BN, ReLU, conv3x3, BN, ReLU, conv1x1, BN, ReLU, AxialAttention)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for bn_name, idx in (("bn_1", 0), ("bn_2", 3), ("bn_3", 6)):
+        p, s = _batchnorm(sd, f"{prefix}.block.{idx}")
+        params[bn_name] = p
+        stats[bn_name] = s
+    params["conv_1"] = {"conv": _conv3d_ncdhw(sd, f"{prefix}.block.2.conv")}
+    params["conv_2"] = {"conv": _conv3d_ncdhw(sd, f"{prefix}.block.5.conv")}
+    attn = {}
+    for i in range(n_axes):
+        a = f"{prefix}.block.8.mha_attns.{i}"
+        attn[f"mha_attn_{i}"] = {
+            "query": _linear(sd, f"{a}.query", bias=False),
+            "key": _linear(sd, f"{a}.key", bias=False),
+            "value": _linear(sd, f"{a}.value", bias=False),
+            "output": _linear(sd, f"{a}.output"),
+        }
+    params["attn_block"] = attn
+    return params, stats
+
+
+def video_vqvae_params_from_torch(state_dict: Mapping) -> Dict[str, Any]:
+    """Reference video_vqvae state dict -> Flax variables
+    (models/video_gpt/video_vqvae.py:141; layer counts inferred from keys).
+
+    Returns the full variable dict: ``params`` + ``batch_stats`` (BN running
+    stats) + ``vq_stats`` (codebook buffers, marked initialized)."""
+    sd = state_dict
+    params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+    stats: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+
+    enc_convs = sorted({int(k.split(".")[2]) for k in sd if k.startswith("encoder.convs.")})
+    for out_i, torch_i in enumerate(enc_convs):
+        params["encoder"][f"conv_{out_i}"] = {
+            "conv": _conv3d_ncdhw(sd, f"encoder.convs.{torch_i}.conv")
+        }
+    n_res = len({k.split(".")[2] for k in sd
+                 if k.startswith("encoder.res_stack.") and ".block." in k})
+    for tower in ("encoder", "decoder"):
+        for i in range(n_res):
+            p, s = _attention_residual_block(sd, f"{tower}.res_stack.{i}")
+            params[tower][f"res_{i}"] = p
+            stats[tower][f"res_{i}"] = s
+        p, s = _batchnorm(sd, f"{tower}.res_stack.{n_res}")
+        params[tower]["bn_out"] = p
+        stats[tower]["bn_out"] = s
+    params["encoder"]["conv_out"] = {"conv": _conv3d_ncdhw(sd, "encoder.conv_out.conv")}
+    params["decoder"]["conv_in"] = {"conv": _conv3d_ncdhw(sd, "decoder.conv_in.conv")}
+    dec_convts = sorted({int(k.split(".")[2]) for k in sd if k.startswith("decoder.convts.")})
+    for out_i, torch_i in enumerate(dec_convts):
+        params["decoder"][f"convt_{out_i}"] = {
+            "convt": _convt3d(sd, f"decoder.convts.{torch_i}.convt")
+        }
+
+    embedding = _t2j(sd["codebook.embedding"])
+    return {
+        "params": params,
+        "batch_stats": stats,
+        "vq_stats": {
+            "codebook": {
+                "embedding": embedding,
+                "code_avg": _t2j(sd["codebook.code_avg"]),
+                "code_usage": _t2j(sd["codebook.code_usage"]),
+                "is_init": np.ones((), np.bool_),
+            }
+        },
+    }
