@@ -541,3 +541,53 @@ def video_vqvae_params_from_torch(state_dict: Mapping) -> Dict[str, Any]:
             }
         },
     }
+
+
+def _torch_mha_to_qkv(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """torch nn.MultiheadAttention fused in_proj -> separate q/k/v + output."""
+    w = _t2j(sd[f"{prefix}.in_proj_weight"])  # (3E, E)
+    b = _t2j(sd[f"{prefix}.in_proj_bias"])
+    e = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:e].T, "bias": b[:e]},
+        "k_proj": {"kernel": w[e:2 * e].T, "bias": b[e:2 * e]},
+        "v_proj": {"kernel": w[2 * e:].T, "bias": b[2 * e:]},
+        "output_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def mdetr_transformer_params_from_torch(
+    state_dict: Mapping,
+    num_encoder_layers: int = 6,
+    num_decoder_layers: int = 6,
+) -> Dict[str, Any]:
+    """Reference MDETRTransformer state dict -> Flax params
+    (models/mdetr/transformer.py:20 naming)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    for i in range(num_encoder_layers):
+        p = f"encoder.layers.{i}"
+        params[f"encoder_{i}"] = {
+            "self_attn": _torch_mha_to_qkv(sd, f"{p}.self_attn"),
+            "mlp": {
+                "hidden_0": _linear(sd, f"{p}.mlp.model.0"),
+                "out": _linear(sd, f"{p}.mlp.model.2"),
+            },
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+        }
+    for i in range(num_decoder_layers):
+        p = f"decoder.layers.{i}"
+        params[f"decoder_{i}"] = {
+            "self_attn": _torch_mha_to_qkv(sd, f"{p}.self_attn"),
+            "cross_attn_image": _torch_mha_to_qkv(sd, f"{p}.cross_attn_image"),
+            "mlp": {
+                "hidden_0": _linear(sd, f"{p}.mlp.model.0"),
+                "out": _linear(sd, f"{p}.mlp.model.2"),
+            },
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm3": _layernorm(sd, f"{p}.norm3"),
+            "norm4": _layernorm(sd, f"{p}.norm4"),
+        }
+    params["decoder_norm"] = _layernorm(sd, "decoder.norm")
+    return {"params": params}
