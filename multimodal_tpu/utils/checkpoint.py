@@ -495,13 +495,15 @@ def _attention_residual_block(sd: Mapping, prefix: str, n_axes: int = 3):
     return params, stats
 
 
-def video_vqvae_params_from_torch(state_dict: Mapping) -> Dict[str, Any]:
+def video_vqvae_params_from_torch(state_dict: Mapping, prefix: str = "") -> Dict[str, Any]:
     """Reference video_vqvae state dict -> Flax variables
     (models/video_gpt/video_vqvae.py:141; layer counts inferred from keys).
 
     Returns the full variable dict: ``params`` + ``batch_stats`` (BN running
     stats) + ``vq_stats`` (codebook buffers, marked initialized)."""
     sd = state_dict
+    if prefix:
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
     params: Dict[str, Any] = {"encoder": {}, "decoder": {}}
     stats: Dict[str, Any] = {"encoder": {}, "decoder": {}}
 
@@ -591,3 +593,63 @@ def mdetr_transformer_params_from_torch(
         }
     params["decoder_norm"] = _layernorm(sd, "decoder.norm")
     return {"params": params}
+
+
+def video_gpt_params_from_torch(
+    state_dict: Mapping,
+    num_decoder_layers: int = 16,
+    n_latent_dims: int = 3,
+) -> Dict[str, Any]:
+    """Reference MultimodalGPT state dict -> Flax variables
+    (models/video_gpt/gpt.py:66 naming, incl. both VQVAE tokenizers)."""
+    sd = state_dict
+
+    def pos_emb(prefix: str) -> Dict[str, np.ndarray]:
+        return {f"d_{i}": _t2j(sd[f"{prefix}.embedding.d_{i}"])
+                for i in range(n_latent_dims)}
+
+    decoder: Dict[str, Any] = {}
+    for i in range(num_decoder_layers):
+        p = f"mm_decoder.decoder.layers.{i}"
+        decoder[f"layer_{i}"] = {
+            "attention": {
+                "query": _linear(sd, f"{p}.attention.query", bias=False),
+                "key": _linear(sd, f"{p}.attention.key", bias=False),
+                "value": _linear(sd, f"{p}.attention.value", bias=False),
+                "output": _linear(sd, f"{p}.attention.output"),
+            },
+            "mlp": {
+                "hidden_0": _linear(sd, f"{p}.mlp.model.0"),
+                "out": _linear(sd, f"{p}.mlp.model.2"),
+            },
+            "norm_attn": _layernorm(sd, f"{p}.norm_attn"),
+            "norm_mlp": _layernorm(sd, f"{p}.norm_mlp"),
+        }
+
+    in_tok = video_vqvae_params_from_torch(state_dict, prefix="in_tokenizer.")
+    out_tok = video_vqvae_params_from_torch(state_dict, prefix="out_tokenizer.")
+    params = {
+        "mm_decoder": {
+            "in_pos_emb": pos_emb("mm_decoder.in_pos_emb"),
+            "out_pos_emb": pos_emb("mm_decoder.out_pos_emb"),
+            "decoder": decoder,
+            "right_shift": {"sos": _t2j(sd["mm_decoder.right_shift.sos"])},
+        },
+        "in_projection": _linear(sd, "in_projection", bias=False),
+        "out_projection": _linear(sd, "out_projection", bias=False),
+        "norm": _layernorm(sd, "norm"),
+        "to_logit": _linear(sd, "to_logit", bias=False),
+        "in_tokenizer": in_tok["params"],
+        "out_tokenizer": out_tok["params"],
+    }
+    return {
+        "params": params,
+        "batch_stats": {
+            "in_tokenizer": in_tok["batch_stats"],
+            "out_tokenizer": out_tok["batch_stats"],
+        },
+        "vq_stats": {
+            "in_tokenizer": in_tok["vq_stats"],
+            "out_tokenizer": out_tok["vq_stats"],
+        },
+    }
