@@ -653,3 +653,33 @@ def video_gpt_params_from_torch(
             "out_tokenizer": out_tok["vq_stats"],
         },
     }
+
+
+def swin_decoder_params_from_torch(
+    state_dict: Mapping, n_layer: int = 16
+) -> Dict[str, Any]:
+    """Reference AudioMAE SwinTransformer decoder state dict -> Flax params
+    (models/masked_auto_encoder/swin_decoder.py:350 naming)."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    for i in range(n_layer):
+        p = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "attn": {
+                "tau": _t2j(sd[f"{p}.attn.tau"]),
+                "qkv": _linear(sd, f"{p}.attn.qkv"),
+                "proj": _linear(sd, f"{p}.attn.proj"),
+                "meta_mlp": {
+                    "hidden_0": _linear(sd, f"{p}.attn.meta_mlp.model.0"),
+                    "out": _linear(sd, f"{p}.attn.meta_mlp.model.3"),
+                },
+            },
+            "mlp": {
+                "hidden_0": _linear(sd, f"{p}.mlp.model.0"),
+                "out": _linear(sd, f"{p}.mlp.model.2"),
+            },
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+        }
+    params["final_layer_norm"] = _layernorm(sd, "final_layer_norm")
+    return {"params": params}
