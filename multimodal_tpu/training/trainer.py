@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
@@ -79,6 +80,7 @@ class Trainer:
         max_checkpoints: int = 3,
         skip_nonfinite_updates: bool = False,
         grad_accum_steps: int = 1,
+        checkpoint_on_preemption: bool = False,
     ):
         if strategy not in ("ddp", "fsdp"):
             raise ValueError(f"unknown strategy {strategy}")
@@ -94,6 +96,21 @@ class Trainer:
         self.logger = MetricsLogger(log_dir, log_interval)
         self.ckpt = CheckpointManager(checkpoint_dir, max_checkpoints) if checkpoint_dir else None
         self._step_fn = None
+        self._preempted = False
+        if checkpoint_on_preemption:
+            # failure detection / elastic recovery (SURVEY §5.3): on
+            # SIGTERM/SIGINT (TPU preemption, job eviction) finish the current
+            # step, save a checkpoint, and exit the fit loop cleanly so
+            # restore_or_init resumes on the next launch. The reference left
+            # this as an explicit TODO (examples/flava/native/train.py:354).
+            if self.ckpt is None:
+                raise ValueError("checkpoint_on_preemption requires checkpoint_dir")
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                signal.signal(sig, self._handle_preemption)
+
+    def _handle_preemption(self, signum, frame) -> None:
+        print(f"received signal {signum}: checkpointing and stopping", flush=True)
+        self._preempted = True
 
     def shard_params(self, params: Any) -> Tuple[Any, Any]:
         if self.strategy == "fsdp":
@@ -187,4 +204,8 @@ class Trainer:
                 self.logger.log(step, {**metrics, "items_per_sec": items / max(dt, 1e-9)})
                 if self.ckpt is not None and checkpoint_every and step % checkpoint_every == 0:
                     self.ckpt.save(step, jax.device_get(state))
+                if self._preempted:
+                    self.ckpt.save(step, jax.device_get(state))
+                    print(f"preemption checkpoint saved at step {step}", flush=True)
+                    break
         return state

@@ -60,3 +60,38 @@ def test_ema_tracking():
     new_params = {"w": jnp.zeros(3)}
     ema = update_ema(ema, new_params, decay=0.9)
     assert_expected(ema["w"], np.full(3, 0.9), atol=1e-6)
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    import os
+    import signal
+
+    mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+
+    def loss_fn(params, batch, _rng):
+        return jnp.sum((params["w"] - batch["x"]) ** 2), {}
+
+    def data():
+        sent = False
+        while True:
+            yield {"x": np.ones(4, np.float32)}
+            if not sent:
+                sent = True
+                os.kill(os.getpid(), signal.SIGTERM)  # preempt after step 1
+
+    def make_trainer():
+        return Trainer(loss_fn, optax.sgd(0.01), strategy="ddp", mesh=mesh,
+                       checkpoint_dir=str(tmp_path), log_interval=100,
+                       checkpoint_on_preemption=True)
+
+    trainer = make_trainer()
+    state = trainer.restore_or_init({"w": jnp.zeros(4)})
+    state = trainer.fit(state, data(), num_steps=50)
+    # SIGTERM lands during step 2's host iteration; loop breaks after it
+    stopped_at = int(state["step"])
+    assert stopped_at < 50
+
+    trainer2 = make_trainer()
+    state2 = trainer2.restore_or_init({"w": jnp.zeros(4)})
+    assert int(state2["step"]) == stopped_at  # resumed, not reinitialized
+    assert float(jnp.abs(state2["params"]["w"] - state["params"]["w"]).max()) < 1e-6
