@@ -11,7 +11,7 @@ torch is an optional dependency: only needed when actually converting.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Sequence
 
 import numpy as np
 
@@ -683,3 +683,48 @@ def swin_decoder_params_from_torch(
         }
     params["final_layer_norm"] = _layernorm(sd, "final_layer_norm")
     return {"params": params}
+
+
+def clip_resnet_params_from_torch(
+    state_dict: Mapping, layers: Sequence[int] = (3, 4, 6, 3)
+) -> Dict[str, Any]:
+    """Reference ResNetForCLIP state dict -> Flax variables
+    (models/clip/image_encoder.py:116 naming). Returns params + batch_stats."""
+    sd = state_dict
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(name, prefix):
+        p, s = _batchnorm(sd, prefix)
+        params_dst[name] = p
+        stats_dst[name] = s
+
+    params_dst, stats_dst = params, stats
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv2d_nchw(sd, f"conv{i}", bias=False)
+        bn(f"bn{i}", f"bn{i}")
+
+    for li, n_blocks in enumerate(layers, start=1):
+        for bi in range(n_blocks):
+            p = f"layer{li}.{bi}"
+            block_p: Dict[str, Any] = {}
+            block_s: Dict[str, Any] = {}
+            params_dst, stats_dst = block_p, block_s
+            for i in (1, 2, 3):
+                block_p[f"conv{i}"] = _conv2d_nchw(sd, f"{p}.conv{i}", bias=False)
+                bn(f"bn{i}", f"{p}.bn{i}")
+            if f"{p}.downsample.0.weight" in sd:
+                block_p["downsample_conv"] = _conv2d_nchw(sd, f"{p}.downsample.0", bias=False)
+                bn("downsample_bn", f"{p}.downsample.1")
+            params[f"layer{li}_{bi}"] = block_p
+            stats[f"layer{li}_{bi}"] = block_s
+    params_dst, stats_dst = params, stats
+
+    params["attnpool"] = {
+        "positional_embedding": _t2j(sd["attnpool.positional_embedding"]),
+        "q_proj": _linear(sd, "attnpool.q_proj"),
+        "k_proj": _linear(sd, "attnpool.k_proj"),
+        "v_proj": _linear(sd, "attnpool.v_proj"),
+        "c_proj": _linear(sd, "attnpool.c_proj"),
+    }
+    return {"params": params, "batch_stats": stats}
