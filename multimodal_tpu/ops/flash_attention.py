@@ -51,14 +51,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale
 
     @pl.when(should_compute)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, d)
-        k = k_ref[0, 0].astype(jnp.float32)  # (block_k, d)
+        # keep q/k in their storage dtype (bf16) into the MXU — fp32 inputs
+        # would halve the systolic-array rate; accumulate in fp32
+        q = q_ref[0, 0]                      # (block_q, d)
+        k = k_ref[0, 0]                      # (block_k, d)
         v = v_ref[0, 0]                      # (block_k, d)
+        # softmax in log2 space: exp(x) = exp2(x * log2 e); exp2 is cheaper
+        # on the VPU, so fold log2(e) into the scale once
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # (block_q, block_k)
+        ) * (sm_scale * 1.4426950408889634)  # (block_q, block_k) log2-space
         if bias_ref is not None:
-            s = s + bias_ref[0, 0].astype(jnp.float32)
+            s = s + bias_ref[0, 0].astype(jnp.float32) * 1.4426950408889634
         if causal:
             row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -67,8 +71,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale
         m_prev = m_scr[:, 0:1]                      # (block_q, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                      # (block_q, block_k)
-        alpha = jnp.exp(m_prev - m_new)             # (block_q, 1)
+        p = jnp.exp2(s - m_new)                     # (block_q, block_k)
+        alpha = jnp.exp2(m_prev - m_new)            # (block_q, 1)
         l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -103,8 +107,8 @@ def flash_attention_forward(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
 ) -> jnp.ndarray:
     """Blockwise fused attention. q: (B,H,Sq,D); k,v: (B,H,Sk,D).
 
