@@ -728,3 +728,33 @@ def clip_resnet_params_from_torch(
         "c_proj": _linear(sd, "attnpool.c_proj"),
     }
     return {"params": params, "batch_stats": stats}
+
+
+def _dalle_conv(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    # DALL-E Conv2d stores weights as .w/.b (models/flava/model.py:592-622)
+    return {"conv": {"kernel": _t2j(sd[f"{prefix}.w"]).transpose(2, 3, 1, 0),
+                     "bias": _t2j(sd[f"{prefix}.b"])}}
+
+
+def dalle_encoder_params_from_torch(
+    state_dict: Mapping, group_count: int = 4, n_blk_per_group: int = 2
+) -> Dict[str, Any]:
+    """Reference DalleEncoder (FLAVA's frozen dVAE codebook,
+    models/flava/model.py:624) state dict -> Flax params. Use on the weights
+    inside ``DalleVAEEncoder`` (openai ``encoder.pkl``) for MIM labels."""
+    sd = state_dict
+    params: Dict[str, Any] = {
+        "input_conv": _dalle_conv(sd, "blocks.input"),
+        "output_conv": _dalle_conv(sd, "blocks.output.conv"),
+    }
+    for g in range(1, 5):
+        for b in range(1, n_blk_per_group + 1):
+            p = f"blocks.group_{g}.block_{b}"
+            block: Dict[str, Any] = {
+                f"conv_{i}": _dalle_conv(sd, f"{p}.res_path.conv_{i}")
+                for i in range(1, 5)
+            }
+            if f"{p}.id_path.w" in sd:
+                block["id_path"] = _dalle_conv(sd, f"{p}.id_path")
+            params[f"group_{g}_block_{b}"] = block
+    return {"params": params}
