@@ -244,3 +244,61 @@ def test_masked_dict_cross_entropy_and_accuracy():
 
     w = build_weight_dict(vqa_keys=["answer_type", "answer_obj"], qa_loss_coef=0.5)
     assert w["answer_obj_loss"] == 0.5 and w["l1_loss"] == 5.0
+
+
+def test_evaluate_phrase_grounding_end_to_end():
+    """Tiny MDETR -> jitted eval loop -> Recall@k report."""
+    from multimodal_tpu.examples.mdetr.eval import evaluate_phrase_grounding
+    from multimodal_tpu.models.mdetr.model import (
+        mdetr_for_phrase_grounding,
+        pad_images,
+        pad_text,
+    )
+
+    TINY = dict(
+        num_queries=4, num_classes=8, embedding_dim=32, transformer_d_model=32,
+        transformer_num_heads=2, transformer_encoder_layers=1,
+        transformer_decoder_layers=1, transformer_dim_feedforward=64,
+        transformer_dropout=0.0,
+        text_encoder_kwargs=dict(num_hidden_layers=1, num_attention_heads=2,
+                                 intermediate_size=64, vocab_size=100,
+                                 max_position_embeddings=32),
+        resnet_layers=(1, 1, 1, 1),
+    )
+    model = mdetr_for_phrase_grounding(contrastive_dim=16, **TINY)
+    r = np.random.RandomState(0)
+    images, image_mask = pad_images([r.rand(64, 64, 3).astype(np.float32)] * 2)
+    text, text_mask = pad_text([r.randint(2, 99, 6), r.randint(2, 99, 6)])
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images),
+                        jnp.asarray(image_mask), jnp.asarray(text),
+                        jnp.asarray(text_mask))
+
+    pos_map = np.zeros((2, 9), np.float32)  # one phrase per sample
+    pos_map[0, 1] = pos_map[1, 2] = 1.0
+    batch = {
+        "images": images, "image_mask": image_mask,
+        "text": text, "text_mask": text_mask,
+        "orig_sizes": np.array([[480, 640], [320, 320]], np.float32),
+        "positive_map_eval": pos_map, "phrases_per_sample": [1, 1],
+        "image_ids": ["im0", "im1"], "sentence_ids": [0, 0],
+    }
+
+    # first run once to learn the model's own top-1 boxes, use them as GT
+    def apply_fn(*a):
+        return model.apply(params, *a)
+
+    from multimodal_tpu.examples.mdetr.postprocessors import post_process_flickr
+    out = apply_fn(jnp.asarray(images), jnp.asarray(image_mask),
+                   jnp.asarray(text), jnp.asarray(text_mask))
+    ranked = post_process_flickr(
+        out.model_output.pred_logits, out.model_output.pred_boxes,
+        jnp.asarray(batch["orig_sizes"]), jnp.asarray(pos_map), [1, 1])
+    images_ann = {
+        f"im{i}": {"boxes": {"p0": [list(map(float, ranked[i][0][0]))]},
+                   "sentences": [{"sentence": "x", "phrases": [
+                       {"phrase_id": "p0", "phrase": "x", "phrase_type": ["all"]}]}]}
+        for i in range(2)
+    }
+    ev = Flickr30kEntitiesRecallEvaluator.from_annotations(images_ann, topk=(1, 5))
+    report = evaluate_phrase_grounding(apply_fn, [batch], ev)
+    assert report[1]["all"] == 1.0
