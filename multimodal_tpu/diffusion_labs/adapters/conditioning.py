@@ -7,7 +7,7 @@ mask, or an upsampled low-res image) onto the model input channels.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

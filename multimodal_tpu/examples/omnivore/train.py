@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from multimodal_tpu.models.omnivore import _multimodal_heads, _omnivore
+from multimodal_tpu.models.omnivore import _omnivore
 from multimodal_tpu.parallel.mesh import create_mesh
 from multimodal_tpu.training.multidata import MultiDataLoader
 from multimodal_tpu.training.trainer import Trainer

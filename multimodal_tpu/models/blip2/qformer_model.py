@@ -14,7 +14,6 @@ from flax import linen as nn
 from multimodal_tpu.models.blip2.qformer_layers import QformerEmbedding, QformerEncoder
 from multimodal_tpu.models.blip2.qformer_utils import get_causal_mask
 from multimodal_tpu.modules.layers.activation import get_activation
-from multimodal_tpu.modules.layers.normalizations import Fp32LayerNorm
 
 
 class QformerModel(nn.Module):

@@ -8,7 +8,6 @@ PyTorch reference under mixed precision.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

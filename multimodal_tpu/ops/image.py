@@ -16,7 +16,7 @@ the PIL path, throughput serving should use this one.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ choice with no collective at all (SURVEY §7 step 5).
 
 from __future__ import annotations
 
-import itertools
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
 
 import numpy as np

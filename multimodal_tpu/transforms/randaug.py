@@ -19,7 +19,7 @@ Differences from the PIL implementation (noted, deliberate):
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
