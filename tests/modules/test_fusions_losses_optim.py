@@ -110,3 +110,26 @@ def test_anyprecision_kahan_bf16_tracks_fp32():
     err_kahan = np.abs(bf16_kahan - fp32).mean()
     err_plain = np.abs(bf16_plain - fp32).mean()
     assert err_kahan <= err_plain + 1e-7, (err_kahan, err_plain)
+
+
+def test_mil_encoder():
+    """Multiple-instance learning: shared encoder per partition + deepset pool."""
+    import flax.linen as nn
+
+    from multimodal_tpu.modules.encoders.mil_encoder import MILEncoder
+    from multimodal_tpu.modules.layers.mlp import MLP
+
+    enc = MILEncoder(
+        partition_sizes=[3, 3, 3],
+        shared_encoder=nn.Dense(6),
+        shared_encoder_dim=6,
+        mlp=MLP(in_dim=6, out_dim=4, hidden_dims=[8], dropout=0.0),
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 9).astype(np.float32))
+    params = enc.init(rng(0), x)
+    out = enc.apply(params, x)
+    assert out.shape == (2, 4)
+    # wrong partition total raises
+    import pytest
+    with pytest.raises(ValueError):
+        enc.apply(params, jnp.zeros((2, 10)))
