@@ -182,7 +182,13 @@ class Trainer:
         num_steps: int,
         rng: Optional[jax.Array] = None,
         checkpoint_every: Optional[int] = None,
+        eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
+        eval_every: Optional[int] = None,
     ) -> Dict[str, Any]:
+        """``eval_fn(params) -> metrics`` runs every ``eval_every`` steps and
+        at the end of training (the analog of the Lightning validation loop /
+        the reference's eval callbacks); its metrics are logged with an
+        ``eval_`` prefix."""
         if self._step_fn is None:
             self._step_fn = self._build_step()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -202,6 +208,13 @@ class Trainer:
                 step = int(state["step"])
                 dt = time.perf_counter() - t0
                 self.logger.log(step, {**metrics, "items_per_sec": items / max(dt, 1e-9)})
+                if eval_fn is not None and (
+                    (eval_every and step % eval_every == 0) or i == num_steps - 1
+                ):
+                    eval_metrics = eval_fn(state["params"])
+                    self.logger.log(
+                        step, {f"eval_{k}": v for k, v in eval_metrics.items()}
+                    )
                 if self.ckpt is not None and checkpoint_every and step % checkpoint_every == 0:
                     self.ckpt.save(step, jax.device_get(state))
                 if self._preempted:

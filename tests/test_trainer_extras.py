@@ -95,3 +95,30 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     state2 = trainer2.restore_or_init({"w": jnp.zeros(4)})
     assert int(state2["step"]) == stopped_at  # resumed, not reinitialized
     assert float(jnp.abs(state2["params"]["w"] - state["params"]["w"]).max()) < 1e-6
+
+
+def test_eval_hook(tmp_path):
+    mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+
+    def loss_fn(params, batch, _rng):
+        return jnp.sum(params["w"] * batch["x"]), {}
+
+    trainer = Trainer(loss_fn, optax.sgd(0.1), strategy="ddp", mesh=mesh,
+                      log_dir=str(tmp_path), log_interval=100)
+    state = trainer.init_state({"w": jnp.ones(2)})
+
+    calls = []
+
+    def eval_fn(params):
+        calls.append(1)
+        return {"w_norm": float(jnp.linalg.norm(params["w"]))}
+
+    def data():
+        while True:
+            yield {"x": np.ones(2, np.float32)}
+
+    trainer.fit(state, data(), num_steps=5, eval_fn=eval_fn, eval_every=2)
+    # steps 2, 4, and the final step 5
+    assert len(calls) == 3
+    log = (tmp_path / "metrics.jsonl").read_text()
+    assert "eval_w_norm" in log
