@@ -22,10 +22,13 @@ text = jnp.asarray(rng.randint(1, 49000, (B, 77), np.int32))
 params = model.init(jax.random.PRNGKey(0),
                     fused_preprocess_for_encoder(imgs), text)
 
-@jax.jit
+# two jitted stages: the axon tunnel rejects the single fused graph
+# (HTTP 413 on remote_compile), so dispatch preprocess + encode separately —
+# still one host round-trip of latency per stage
+encode = jax.jit(lambda pixels, text: model.apply(params, pixels, text))
+
 def step(raw_images, text):
-    pixels = fused_preprocess_for_encoder(raw_images)
-    return model.apply(params, pixels, text)
+    return encode(fused_preprocess_for_encoder(raw_images), text)
 
 out = step(imgs, text); jax.block_until_ready(out)  # compile
 lat = []
