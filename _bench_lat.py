@@ -4,6 +4,8 @@ Single batch: uint8 image -> fused on-device preprocess -> CLIP ViT-B/32
 image encoder, plus tokenized text -> text encoder. Reports p50/p90 over 20
 runs with distinct inputs (remote runtimes cache identical executions).
 Run from the repo root with default env (axon quirks — see verify skill).
+NOTE: pass params as jit ARGUMENTS — closing over them serializes the whole
+param tree into the compile request (HTTP 413 on the axon tunnel).
 """
 import time
 
@@ -19,25 +21,26 @@ model = clip_vit_b32(dtype=jnp.bfloat16)
 rng = np.random.RandomState(0)
 imgs = jnp.asarray(rng.randint(0, 256, (B, 256, 256, 3), np.uint8))
 text = jnp.asarray(rng.randint(1, 49000, (B, 77), np.int32))
-params = model.init(jax.random.PRNGKey(0),
-                    fused_preprocess_for_encoder(imgs), text)
+params = jax.jit(model.init)(
+    jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
+    jnp.zeros((1, 77), jnp.int32),
+)
 
-# two jitted stages: the axon tunnel rejects the single fused graph
-# (HTTP 413 on remote_compile), so dispatch preprocess + encode separately —
-# still one host round-trip of latency per stage
-encode = jax.jit(lambda pixels, text: model.apply(params, pixels, text))
 
-def step(raw_images, text):
-    return encode(fused_preprocess_for_encoder(raw_images), text)
+@jax.jit
+def step(params, raw_images, text):
+    pixels = fused_preprocess_for_encoder(raw_images, 224, dtype=jnp.bfloat16)
+    return model.apply(params, pixels, text)
 
-out = step(imgs, text); jax.block_until_ready(out)  # compile
+
+out = step(params, imgs, text); jax.block_until_ready(out)  # compile
 lat = []
 for i in range(20):
     im_i = jnp.asarray(rng.randint(0, 256, (B, 256, 256, 3), np.uint8))
     tx_i = jnp.asarray(rng.randint(1, 49000, (B, 77), np.int32))
     jax.block_until_ready((im_i, tx_i))
     t0 = time.perf_counter()
-    out = step(im_i, tx_i)
+    out = step(params, im_i, tx_i)
     float(out.embeddings_a.sum())
     lat.append((time.perf_counter() - t0) * 1e3)
 lat.sort()

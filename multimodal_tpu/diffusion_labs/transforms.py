@@ -123,3 +123,61 @@ class InpaintingTransform:
         )
         mask = inside[..., None].astype(x.dtype)  # 1 = hole
         return {**batch, self.mask_field: mask, self.masked_field: x * (1 - mask)}
+
+
+def cascaded_resize(image: jnp.ndarray, resolution: int) -> jnp.ndarray:
+    """Halve by BOX (2x2 mean) while min side >= 2*resolution, then bicubic.
+
+    On-device analog of the reference's PIL cascade
+    (``diffusion_labs/utils/common.py:24-40``); BOX downsampling by exactly 2
+    equals average pooling, so the cascade is a static Python loop over
+    reshape-means followed by one bicubic resize.
+    """
+    h, w = image.shape[-3], image.shape[-2]
+    while min(h, w) >= 2 * resolution:
+        lead = image.shape[:-3]
+        image = image.reshape(lead + (h // 2, 2, w // 2, 2, image.shape[-1])).mean(
+            axis=(-4, -2)
+        )
+        h, w = h // 2, w // 2
+    scale = resolution / min(h, w)
+    new_h, new_w = round(h * scale), round(w * scale)
+    return jax.image.resize(
+        image, image.shape[:-3] + (new_h, new_w, image.shape[-1]), method="bicubic"
+    )
+
+
+class Dalle2ImageTransform:
+    """Resize (cascaded) -> center crop -> scale into [image_min, image_max].
+
+    On-device jitted analog of the reference
+    (``diffusion_labs/models/dalle2/transforms.py:17``); expects float or
+    uint8 NHWC images in [0, 255] or [0, 1] PIL-style arrays under
+    ``image_field`` of the batch dict.
+    """
+
+    def __init__(self, image_size: int = 64, image_min: float = -1.0,
+                 image_max: float = 1.0, image_field: str = "x"):
+        self.image_size = image_size
+        self.image_min = image_min
+        self.image_max = image_max
+        self.image_field = image_field
+
+    def __call__(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self.image_field not in batch:
+            raise KeyError(f"Dalle2ImageTransform expects key {self.image_field}")
+        x = jnp.asarray(batch[self.image_field])
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        x = cascaded_resize(x, self.image_size)
+        h, w = x.shape[-3], x.shape[-2]
+        top = (h - self.image_size) // 2
+        left = (w - self.image_size) // 2
+        x = x[..., top:top + self.image_size, left:left + self.image_size, :]
+        x = x * (self.image_max - self.image_min) + self.image_min
+        if squeeze:
+            x = x[0]
+        return {**batch, self.image_field: x}

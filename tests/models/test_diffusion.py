@@ -202,3 +202,17 @@ def test_vae_roundtrip():
     assert posterior.mean.shape == (1, 4, 4, 2)  # one downsample
     kl = posterior.kl()
     assert kl.shape == (1,) and np.isfinite(float(kl[0]))
+
+
+def test_dalle2_image_transform():
+    from multimodal_tpu.diffusion_labs.transforms import Dalle2ImageTransform
+
+    t = Dalle2ImageTransform(image_size=32)
+    batch = {"x": np.random.RandomState(0).randint(0, 256, (2, 150, 200, 3), np.uint8)}
+    out = t(batch)
+    x = out["x"]
+    assert x.shape == (2, 32, 32, 3)
+    assert float(x.min()) >= -1.0 and float(x.max()) <= 1.0
+    # single image path
+    single = t({"x": batch["x"][0]})["x"]
+    assert single.shape == (32, 32, 3)
