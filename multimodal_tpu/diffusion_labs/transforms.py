@@ -136,6 +136,8 @@ def cascaded_resize(image: jnp.ndarray, resolution: int) -> jnp.ndarray:
     h, w = image.shape[-3], image.shape[-2]
     while min(h, w) >= 2 * resolution:
         lead = image.shape[:-3]
+        # crop odd trailing row/col so the 2x2 box pool reshape is exact
+        image = image[..., : h // 2 * 2, : w // 2 * 2, :]
         image = image.reshape(lead + (h // 2, 2, w // 2, 2, image.shape[-1])).mean(
             axis=(-4, -2)
         )
