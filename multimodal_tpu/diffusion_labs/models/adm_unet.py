@@ -94,15 +94,20 @@ class ADMAttentionBlock(nn.Module):
             dtype=jnp.float32, param_dtype=self.param_dtype, name="norm",
         )
         tokens = norm(x.astype(jnp.float32)).astype(x.dtype).reshape(b, h * w, c)
-        kv_tokens = tokens
-        if attn_cond is not None:
-            kv_tokens = jnp.concatenate([tokens, attn_cond.astype(tokens.dtype)], axis=1)
         qkv_dense = lambda name: nn.Dense(
             c, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
         q = qkv_dense("q")(tokens)
-        k = qkv_dense("k")(kv_tokens)
-        v = qkv_dense("v")(kv_tokens)
+        k = qkv_dense("k")(tokens)
+        v = qkv_dense("v")(tokens)
+        if attn_cond is not None:
+            # cross-attention on extra tokens: each block owns its own k/v
+            # projection FROM the conditional dim, so conditioning reaches
+            # every resolution regardless of channel width (reference
+            # attention_block.py ADMCrossAttention semantics)
+            cond = attn_cond.astype(tokens.dtype)
+            k = jnp.concatenate([k, qkv_dense("k_cond")(cond)], axis=1)
+            v = jnp.concatenate([v, qkv_dense("v_cond")(cond)], axis=1)
         hd = c // self.num_heads
         shape_q = lambda t: t.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
         attn = jax.nn.softmax(
@@ -172,9 +177,7 @@ class ADMUNet(nn.Module):
             for bi in range(self.num_res_per_layer):
                 h = ADMResBlock(ch, self.dim_res_cond, name=f"down_{li}_{bi}", **common)(h, res_cond)
                 if self.use_attention_for_layer[li]:
-                    # attn_cond tokens must match channel dim; only append when equal
-                    cond_tokens = attn_cond if (attn_cond is not None and attn_cond.shape[-1] == ch) else None
-                    h = ADMAttentionBlock(self.num_heads, name=f"down_attn_{li}_{bi}", **common)(h, cond_tokens)
+                    h = ADMAttentionBlock(self.num_heads, name=f"down_attn_{li}_{bi}", **common)(h, attn_cond)
                 skips.append(h)
             if li < self.num_resize:
                 h = ADMResBlock(ch, self.dim_res_cond, resample="down",
@@ -184,7 +187,7 @@ class ADMUNet(nn.Module):
         # Bottleneck
         mid_ch = self.channels_per_layer[-1]
         h = ADMResBlock(mid_ch, self.dim_res_cond, name="mid_res1", **common)(h, res_cond)
-        h = ADMAttentionBlock(self.num_heads, name="mid_attn", **common)(h)
+        h = ADMAttentionBlock(self.num_heads, name="mid_attn", **common)(h, attn_cond)
         h = ADMResBlock(mid_ch, self.dim_res_cond, name="mid_res2", **common)(h, res_cond)
 
         # Upsampling decoder
@@ -196,8 +199,7 @@ class ADMUNet(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ADMResBlock(ch, self.dim_res_cond, name=f"up_{li}_{bi}", **common)(h, res_cond)
                 if up_attn[li]:
-                    cond_tokens = attn_cond if (attn_cond is not None and attn_cond.shape[-1] == ch) else None
-                    h = ADMAttentionBlock(self.num_heads, name=f"up_attn_{li}_{bi}", **common)(h, cond_tokens)
+                    h = ADMAttentionBlock(self.num_heads, name=f"up_attn_{li}_{bi}", **common)(h, attn_cond)
             if li < self.num_resize:
                 h = ADMResBlock(ch, self.dim_res_cond, resample="up",
                                 name=f"up_resize_{li}", **common)(h, res_cond)
