@@ -758,3 +758,31 @@ def dalle_encoder_params_from_torch(
                 block["id_path"] = _dalle_conv(sd, f"{p}.id_path")
             params[f"group_{g}_block_{b}"] = block
     return {"params": params}
+
+
+def attention_fusion_params_from_torch(state_dict: Mapping) -> Dict[str, Any]:
+    """Reference AttentionFusionModule (modules/fusions/attention_fusion.py:13)."""
+    sd = state_dict
+    params: Dict[str, Any] = {"attention": _linear(sd, "attention.0")}
+    for key in sorted({k.split(".")[1] for k in sd if k.startswith("encoding_projection.")}):
+        params[f"projection_{key}"] = _linear(sd, f"encoding_projection.{key}")
+    return {"params": params}
+
+
+def deepset_fusion_params_from_torch(state_dict: Mapping) -> Dict[str, Any]:
+    """Reference DeepsetFusionModule (modules/fusions/deepset_fusion.py:14).
+    Reference torch MLP hides dropout at index 1-2, so the second linear is
+    ``model.3`` when dropout is configured and ``model.2`` otherwise."""
+    sd = state_dict
+    second = "mlp.model.3" if "mlp.model.3.weight" in sd else "mlp.model.2"
+    params: Dict[str, Any] = {
+        "mlp": {
+            "hidden_0": _linear(sd, "mlp.model.0"),
+            "out": _linear(sd, second),
+        }
+    }
+    if "attention.0.weight" in sd:
+        params["attention"] = _linear(sd, "attention.0")
+    for key in sorted({k.split(".")[1] for k in sd if k.startswith("projections.")}):
+        params[f"projection_{key}"] = _linear(sd, f"projections.{key}")
+    return {"params": params}
