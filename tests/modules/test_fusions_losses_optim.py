@@ -133,3 +133,33 @@ def test_mil_encoder():
     import pytest
     with pytest.raises(ValueError):
         enc.apply(params, jnp.zeros((2, 10)))
+
+
+def test_embedding_encoders():
+    from multimodal_tpu.modules.encoders.embedding_encoder import (
+        EmbeddingEncoder,
+        WeightedEmbeddingEncoder,
+    )
+
+    ids = jnp.asarray(np.array([[1, 2, 3], [4, 5, 6]], np.int32))
+    enc = EmbeddingEncoder(num_embeddings=10, embedding_dim=4, pooling_type="mean")
+    params = enc.init(rng(0), ids)
+    out = enc.apply(params, ids)
+    assert out.shape == (2, 4)
+    table = params["params"]["embedding"]["embedding"]
+    want = np.asarray(table)[np.asarray(ids)].mean(axis=1)
+    assert_expected(out, want, atol=1e-6)
+
+    # hashing maps out-of-range ids into [1, num_embeddings - 1]
+    hashed = EmbeddingEncoder(num_embeddings=10, embedding_dim=4, use_hash=True)
+    params_h = hashed.init(rng(0), ids)
+    out_h = hashed.apply(params_h, jnp.asarray([[123456, 7, 8]]))
+    assert out_h.shape == (1, 4)
+
+    w = jnp.asarray(np.array([[0.5, 0.0, 0.5], [1.0, 1.0, 0.0]], np.float32))
+    wenc = WeightedEmbeddingEncoder(num_embeddings=3, embedding_dim=4)
+    wparams = wenc.init(rng(1), w)
+    wout = wenc.apply(wparams, w)
+    wtable = np.asarray(wparams["params"]["embedding"]["embedding"])
+    want_w = (wtable[None] * np.asarray(w)[..., None]).sum(axis=1)
+    assert_expected(wout, want_w, atol=1e-6)
