@@ -109,3 +109,25 @@ def test_video_transform():
     out = VideoTransform(time_samples=8, resize_shape=(16, 16))(video)
     assert out.shape == (2, 8, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_text_transform_primitives():
+    from multimodal_tpu.transforms.text_transforms import (
+        AddToken,
+        PadTransform,
+        ToTensor,
+        Truncate,
+    )
+
+    toks = [[1, 2, 3, 4, 5], [6, 7]]
+    assert Truncate(3)(toks) == [[1, 2, 3], [6, 7]]
+    assert AddToken(0, begin=True)(toks) == [[0, 1, 2, 3, 4, 5], [0, 6, 7]]
+    assert AddToken(9, begin=False)([1, 2]) == [1, 2, 9]
+
+    arr = ToTensor(padding_value=-1)(toks)
+    assert arr.shape == (2, 5) and arr[1, 2] == -1 and arr.dtype == np.int32
+
+    padded = PadTransform(4, pad_value=7)(np.array([[1, 2]]))
+    assert padded.tolist() == [[1, 2, 7, 7]]
+    truncated = PadTransform(2)(np.array([[1, 2, 3]]))
+    assert truncated.tolist() == [[1, 2]]
