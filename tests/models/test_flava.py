@@ -14,7 +14,7 @@ from multimodal_tpu.models.flava.model import (
     flava_model_for_pretraining,
 )
 
-from tests.test_utils import rng
+from tests.test_utils import assert_expected, rng
 
 SMALL = dict(
     image_hidden_size=32,
@@ -138,3 +138,30 @@ def test_flava_classification(mm_inputs):
     out = model.apply(params, image=image, text=text, labels=labels)
     assert out.logits.shape == (2, 5)
     assert np.isfinite(float(out.loss))
+
+
+def test_remat_gradients_match():
+    """remat=True (activation checkpointing, the reference's
+    apply_activation_checkpointing at native/train.py:148-165) must give
+    bit-comparable gradients to the plain forward."""
+    kwargs = dict(SMALL)
+    model_plain = flava_model(**kwargs)
+    model_remat = flava_model(**kwargs, remat=True)
+
+    image = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32))
+    text = jnp.asarray(np.random.RandomState(1).randint(1, 99, (2, 8)))
+    params = model_plain.init(rng(0), image=image, text=text, text_masked=text)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, image=image, text=text, text_masked=text)
+            return jnp.sum(out.projected_image_embeddings ** 2) + jnp.sum(
+                out.projected_text_embeddings ** 2
+            )
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(model_plain))(params)
+    l2, g2 = jax.value_and_grad(loss(model_remat))(params)
+    assert_expected(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        assert_expected(a, b, atol=1e-5, rtol=1e-5)
