@@ -11,6 +11,8 @@ from __future__ import annotations
 import sys
 import types
 
+import torch
+
 REFERENCE_PATH = "/root/reference"
 
 
@@ -56,6 +58,40 @@ def _install_stubs():
     tv_ops.StochasticDepth = StochasticDepth
     tv_ops.stochastic_depth = tv_sd
 
+    # torchvision.ops.boxes: the two pure-torch helpers MDETR losses use
+    tv_boxes = types.ModuleType("torchvision.ops.boxes")
+
+    def box_convert(boxes, in_fmt, out_fmt):
+        assert in_fmt == "cxcywh" and out_fmt == "xyxy"
+        cx, cy, w, h = boxes.unbind(-1)
+        return torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+    def box_area(boxes):
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    def box_iou(boxes1, boxes2):
+        area1, area2 = box_area(boxes1), box_area(boxes2)
+        lt = torch.max(boxes1[:, None, :2], boxes2[None, :, :2])
+        rb = torch.min(boxes1[:, None, 2:], boxes2[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = area1[:, None] + area2[None, :] - inter
+        return inter / union, union
+
+    def generalized_box_iou(boxes1, boxes2):
+        iou, union = box_iou(boxes1, boxes2)
+        lt = torch.min(boxes1[:, None, :2], boxes2[None, :, :2])
+        rb = torch.max(boxes1[:, None, 2:], boxes2[None, :, 2:])
+        wh = (rb - lt).clamp(min=0)
+        area = wh[..., 0] * wh[..., 1]
+        return iou - (area - union) / area
+
+    tv_boxes.box_convert = box_convert
+    tv_boxes.box_area = box_area
+    tv_boxes.box_iou = lambda b1, b2: box_iou(b1, b2)[0]
+    tv_boxes.generalized_box_iou = generalized_box_iou
+    tv_ops.boxes = tv_boxes
+
     tv_transforms = types.ModuleType("torchvision.transforms")
 
     class InterpolationMode:
@@ -100,6 +136,7 @@ def _install_stubs():
         ("torchvision.models.video", tv_models_video),
         ("torchvision.models.video.swin_transformer", tv_swin),
         ("torchvision.ops", tv_ops),
+        ("torchvision.ops.boxes", tv_boxes),
         ("torchvision.ops.stochastic_depth", tv_sd),
         ("torchvision.transforms", tv_transforms),
         ("ftfy", ftfy),
