@@ -109,6 +109,9 @@ class Codebook(nn.Module):
             code_usage = jnp.where(is_init, code_usage, jnp.ones_like(code_usage))
 
         indices = self._quantize_indices(encoded_flat, embedding)
+        # quantized output uses the PRE-update embedding — the reference looks
+        # codes up before its in-place EMA update (codebook.py:217-222)
+        lookup_embedding = embedding
 
         if train:
             # EMA update (reference codebook.py:171-207).
@@ -139,7 +142,7 @@ class Codebook(nn.Module):
                 self.code_avg_var.value = code_avg
                 self.is_init_var.value = jnp.array(True)
 
-        quantized_flat = jnp.take(embedding, indices, axis=0).astype(z.dtype)
+        quantized_flat = jnp.take(lookup_embedding, indices, axis=0).astype(z.dtype)
         # Straight-through estimator.
         quantized_flat = encoded_flat + jax.lax.stop_gradient(quantized_flat - encoded_flat)
         quantized = quantized_flat.reshape(orig_shape)
