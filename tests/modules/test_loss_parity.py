@@ -6,6 +6,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 from multimodal_tpu.modules.losses.contrastive_loss_with_temperature import (
@@ -64,3 +65,23 @@ def test_contrastive_loss_parity_random_inputs():
     got = float(contrastive_loss_with_temperature(
         jnp.asarray(a), jnp.asarray(b), logit_scale=jnp.asarray(2.0)).loss)
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_sinusoidal_time_embedding_parity():
+    from multimodal_tpu.modules.layers.position_embedding import (
+        SinusoidalPositionEmbeddings,
+    )
+    from torchmultimodal.modules.layers.position_embedding import (
+        SinusoidalPositionEmbeddings as TorchSinusoidal,
+    )
+
+    emb_dim = 16
+    t = np.array([0, 1, 5, 999])
+    ref = TorchSinusoidal(emb_dim)
+    with torch.no_grad():
+        want = ref(torch.as_tensor(t)).numpy()
+    mod = SinusoidalPositionEmbeddings(emb_dim)
+    got = np.asarray(mod(jnp.asarray(t)) if not hasattr(mod, "init")
+                     else mod.apply(mod.init(jax.random.PRNGKey(0), jnp.asarray(t)),
+                                    jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
