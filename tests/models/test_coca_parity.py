@@ -45,10 +45,10 @@ def _cosine(a, b):
     return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
 
-@pytest.mark.parametrize("cascaded", [True, False])
-def test_coca_parity_tiny(cascaded):
+@pytest.mark.parametrize("cascaded,embed_cls", [(True, True), (False, True), (True, False)])
+def test_coca_parity_tiny(cascaded, embed_cls):
     torch.manual_seed(0)
-    ref = torch_coca_vit(**TINY, cascaded_pooler=cascaded).eval()
+    ref = torch_coca_vit(**TINY, cascaded_pooler=cascaded, text_embed_cls=embed_cls).eval()
     params = coca_params_from_torch(
         ref.state_dict(),
         vision_layers=2,
@@ -56,7 +56,7 @@ def test_coca_parity_tiny(cascaded):
         fusion_layers=2,
         num_poolers=2 if cascaded else 1,
     )
-    model = coca_vit(**TINY, cascaded_pooler=cascaded)
+    model = coca_vit(**TINY, cascaded_pooler=cascaded, text_embed_cls=embed_cls)
 
     img = torch.randn(2, 3, 32, 32)
     ids = torch.randint(1, 49, (2, 12))
