@@ -1,15 +1,18 @@
 """CLIP: generic two-encoder contrastive model + ViT builders.
 
 Parity with reference ``models/clip/model.py`` (CLIP:36, CLIPOutput,
-clip_vit_b16/b32/l14:77-114). The ResNet image-encoder variants
-(``clip_rn50`` etc.) live in ``resnet_encoder.py``. Pretrained-weight
-loading goes through ``multimodal_tpu.utils.checkpoint`` converters rather
-than URL side effects — pass the converted params to ``.apply``.
+clip_vit_b16/b32/l14:77-114, CLIP_MODEL_MAPPING:24-33). The ResNet
+image-encoder variants (``clip_rn50`` etc.) live in ``resnet_encoder.py``.
+
+Pretrained loading: ``clip_vit_b32(pretrained=True)`` resolves the reference
+checkpoint URL through the local cache (``utils/pretrained.py``), converts
+the torch state dict with ``clip_params_from_torch``, and returns
+``(model, params)``; pass a local ``.pt`` path to load an on-disk checkpoint.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -46,7 +49,30 @@ class CLIP(nn.Module):
         return _l2_normalize(self.encoder_b(text))
 
 
-def clip_vit_b16(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
+def _load_clip_vit_pretrained(
+    model: CLIP, pretrained: Union[bool, str], map_key: str,
+    n_vision_layers: int, n_text_layers: int,
+) -> Tuple[CLIP, Any]:
+    from multimodal_tpu.utils.checkpoint import clip_params_from_torch
+    from multimodal_tpu.utils.pretrained import (
+        CLIP_MODEL_MAPPING,
+        load_pretrained_params,
+        resolve_checkpoint,
+    )
+
+    ckpt = resolve_checkpoint(pretrained, CLIP_MODEL_MAPPING, map_key)
+    params = load_pretrained_params(
+        ckpt, clip_params_from_torch,
+        n_vision_layers=n_vision_layers, n_text_layers=n_text_layers,
+    )
+    return model, params
+
+
+def clip_vit_b16(
+    dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
+    pretrained: Union[bool, str] = False,
+):
     vision_encoder = CLIPViTEncoder(
         image_size=224, patch_size=16, layers=12, heads=12, width=768,
         embedding_dim=512, dtype=dtype, param_dtype=param_dtype,
@@ -54,10 +80,17 @@ def clip_vit_b16(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CL
     text_encoder = CLIPTextEncoder(
         embedding_dim=512, dtype=dtype, param_dtype=param_dtype
     )
-    return CLIP(vision_encoder, text_encoder)
+    model = CLIP(vision_encoder, text_encoder)
+    if pretrained:
+        return _load_clip_vit_pretrained(model, pretrained, "vit_b16", 12, 12)
+    return model
 
 
-def clip_vit_b32(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
+def clip_vit_b32(
+    dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
+    pretrained: Union[bool, str] = False,
+):
     vision_encoder = CLIPViTEncoder(
         image_size=224, patch_size=32, layers=12, heads=12, width=768,
         embedding_dim=512, dtype=dtype, param_dtype=param_dtype,
@@ -65,7 +98,10 @@ def clip_vit_b32(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CL
     text_encoder = CLIPTextEncoder(
         embedding_dim=512, dtype=dtype, param_dtype=param_dtype
     )
-    return CLIP(vision_encoder, text_encoder)
+    model = CLIP(vision_encoder, text_encoder)
+    if pretrained:
+        return _load_clip_vit_pretrained(model, pretrained, "vit_b32", 12, 12)
+    return model
 
 
 def _clip_resnet(layers, output_dim, heads, width, text_kwargs, input_resolution=224,
@@ -112,7 +148,11 @@ def clip_rn50x64(**kw: Any) -> CLIP:
     )
 
 
-def clip_vit_l14(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CLIP:
+def clip_vit_l14(
+    dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
+    pretrained: Union[bool, str] = False,
+):
     vision_encoder = CLIPViTEncoder(
         image_size=224, patch_size=14, layers=24, heads=16, width=1024,
         embedding_dim=768, dtype=dtype, param_dtype=param_dtype,
@@ -121,4 +161,7 @@ def clip_vit_l14(dtype: Any = jnp.float32, param_dtype: Any = jnp.float32) -> CL
         embedding_dim=768, width=768, dim_feedforward=3072, heads=12,
         dtype=dtype, param_dtype=param_dtype,
     )
-    return CLIP(vision_encoder, text_encoder)
+    model = CLIP(vision_encoder, text_encoder)
+    if pretrained:
+        return _load_clip_vit_pretrained(model, pretrained, "vit_l14", 24, 12)
+    return model

@@ -36,6 +36,11 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
+        lib.wp_encode_text.restype = ctypes.c_int
+        lib.wp_encode_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
         return lib
     except (OSError, subprocess.CalledProcessError):
         return None
@@ -55,16 +60,18 @@ class NativeWordPieceTokenizer(WordPieceTokenizer):
             )
 
     def encode(self, text: str) -> List[int]:
-        if self._handle is None:
+        if self._handle is None or not text.isascii():
+            # Non-ASCII text uses the Python path: its \w class is
+            # Unicode-aware; the C++ fast path is ASCII-only by design.
             return super().encode(text)
-        out: List[int] = []
-        buf = (ctypes.c_int32 * 512)()
-        for word in self._split(text):
-            n = self._lib.wp_encode_word(
-                self._handle, word.encode("utf-8"), buf, 512
-            )
-            out.extend(buf[:n])
-        return out
+        # One ctypes crossing per text: split + segment happen in C++.
+        # Each emitted id consumes >=1 input char, so len(text) bounds out.
+        cap = max(len(text), 1)
+        buf = (ctypes.c_int32 * cap)()
+        n = self._lib.wp_encode_text(
+            self._handle, text.encode("ascii"), int(self.lowercase), buf, cap
+        )
+        return list(buf[:n])
 
     def __del__(self):
         if getattr(self, "_handle", None) is not None and self._lib is not None:

@@ -77,3 +77,42 @@ def test_flava_model_parity_small():
         np.testing.assert_allclose(
             np.asarray(mine), theirs.numpy(), rtol=5e-3, atol=1e-4
         )
+
+@pytest.mark.slow
+def test_flava_model_parity_fullsize():
+    """FLAVA-base at the real config (12L/768 towers, 6L mm encoder).
+
+    Converter bugs that only appear at full width/head-count (reshape
+    ordering in the fused-QKV concat, pos-emb shapes) are invisible at the
+    toy scale above; this exercises ``flava_params_from_torch`` at the
+    reference defaults (``models/flava/model.py:428-464``).
+    """
+    torch.manual_seed(3)
+    ref = torch_flava_model().eval()
+    params = flava_params_from_torch(ref.state_dict())
+    model = flava_model()
+
+    img = torch.randn(1, 3, 224, 224)
+    ids = torch.randint(1, 30000, (1, 16))
+    with torch.no_grad():
+        ref_out = ref(image=img, text=ids, text_masked=ids)
+
+    import jax
+
+    out = jax.jit(model.apply)(
+        params,
+        image=jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+        text=jnp.asarray(ids.numpy()),
+        text_masked=jnp.asarray(ids.numpy()),
+    )
+    pairs = [
+        (out.image.last_hidden_state, ref_out.image.last_hidden_state),
+        (out.text.last_hidden_state, ref_out.text.last_hidden_state),
+        (out.multimodal_masked.last_hidden_state,
+         ref_out.multimodal_masked.last_hidden_state),
+        (out.projected_image_embeddings, ref_out.projected_image_embeddings),
+        (out.projected_text_embeddings, ref_out.projected_text_embeddings),
+    ]
+    for mine, theirs in pairs:
+        cos = _cosine(mine, theirs.numpy())
+        assert cos > 0.999, cos
