@@ -1,16 +1,22 @@
-"""Pallas TPU flash attention (online-softmax, blockwise).
+"""Pallas TPU flash attention (online-softmax, blockwise, fwd + bwd).
 
 TPU-native replacement for the reference's reliance on
 ``F.scaled_dot_product_attention`` (torch flash/mem-efficient CUDA kernels,
-reference ``modules/layers/multi_head_attention.py:74``). Forward is a Pallas
-kernel tiled for the MXU; backward recomputes attention in XLA (sequences in
-this library are short enough that recompute is cheaper than storing probs).
+reference ``modules/layers/multi_head_attention.py:74``).
 
-Layout: ``q (B, H, Sq, D)``, ``k/v (B, H, Sk, D)``. Grid is
-``(B, H, num_q_blocks, num_k_blocks)`` with the k axis sequential
-("arbitrary") carrying running max / denominator / accumulator in VMEM
-scratch — the standard online-softmax recurrence, so Sk never materializes
-as a full attention matrix in memory.
+Forward is a Pallas kernel tiled for the MXU with the online-softmax
+recurrence; the differentiable path also emits the per-row logsumexp so the
+backward can run as two more Pallas kernels (dq, and dk/dv) that recompute
+probabilities blockwise from (q, k, lse) — the (Sq, Sk) logits matrix never
+materializes in either direction, so training-mode attention at 8k+ sequence
+fits in HBM. With an additive ``bias`` the backward falls back to an XLA
+recompute: a (B, H, Sq, Sk) bias is itself logits-sized, so there is nothing
+to save by keeping it blockwise (masks used in this library are short-seq).
+
+Layout: ``q (B, H, Sq, D)``, ``k/v (B, H, Sk, D)``. Grids put the contracted
+sequence axis last with "arbitrary" semantics carrying running statistics /
+accumulators in VMEM scratch. LSE/delta ride as (B, H, Sq, 128) buffers
+(TPU lane width, same layout the XLA team's kernel uses).
 """
 
 from __future__ import annotations
@@ -24,6 +30,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -1e30
+LOG2E = 1.4426950408889634
+LANES = 128
+
+
+def _dot_precision(dtype) -> jax.lax.Precision:
+    """MXU precision for kernel dots, pinned per input dtype so a global
+    jax_default_matmul_precision=highest can't force fp32-emulated passes on
+    bf16 operands (Mosaic rejects that) and fp32 inputs keep full precision."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def _interpret() -> bool:
@@ -31,7 +50,9 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale, causal, causal_offset, block_q, block_k, bias_ref=None):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  sm_scale, causal, causal_offset, block_q, block_k,
+                  sq, sk, precision, bias_ref=None, lse_ref=None):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -59,14 +80,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale
         # softmax in log2 space: exp(x) = exp2(x * log2 e); exp2 is cheaper
         # on the VPU, so fold log2(e) into the scale once
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (sm_scale * 1.4426950408889634)  # (block_q, block_k) log2-space
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * (sm_scale * LOG2E)               # (block_q, block_k) log2-space
         if bias_ref is not None:
-            s = s + bias_ref[0, 0].astype(jnp.float32) * 1.4426950408889634
+            s = s + bias_ref[0, 0].astype(jnp.float32) * LOG2E
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         if causal:
-            row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             s = jnp.where(row + causal_offset >= col, s, DEFAULT_MASK_VALUE)
+        if sk % block_k != 0:
+            s = jnp.where(col < sk, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:, 0:1]                      # (block_q, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
@@ -75,7 +99,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale
         alpha = jnp.exp2(m_prev - m_new)            # (block_q, 1)
         l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=precision,
         )
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -84,8 +109,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, sm_scale
     def _finalize():
         l = l_scr[:, 0:1]
         # Guard fully-masked rows (l == 0) against 0/0.
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # log2-space logsumexp: p_j = exp2(s2_j - lse2) reproduces the
+            # forward probabilities exactly in the backward kernels.
+            lse2 = m_scr[:, 0:1] + jnp.log2(l_safe)
+            lse_ref[0, 0] = jnp.broadcast_to(lse2, lse_ref[0, 0].shape)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
@@ -98,7 +128,10 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
     return jnp.pad(x, pads, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "return_lse"),
+)
 def flash_attention_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -109,11 +142,14 @@ def flash_attention_forward(
     sm_scale: Optional[float] = None,
     block_q: int = 512,
     block_k: int = 512,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """Blockwise fused attention. q: (B,H,Sq,D); k,v: (B,H,Sk,D).
 
     ``bias`` is an additive float mask broadcastable to (B, H, Sq, Sk); pass
-    large-negative values for masked positions.
+    large-negative values for masked positions. With ``return_lse`` the
+    log2-space per-row logsumexp (B, H, Sq_padded, 128) is also returned
+    (used by the Pallas backward).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -127,19 +163,12 @@ def flash_attention_forward(
     v_p = _pad_to(v, 2, block_k)
     sq_p, sk_p = q_p.shape[2], k_p.shape[2]
 
-    needs_k_pad_mask = sk_p != sk
-    if bias is not None or needs_k_pad_mask:
-        if bias is None:
-            bias = jnp.zeros((1, 1, 1, sk), dtype=jnp.float32)
+    if bias is not None:
         bias = jnp.broadcast_to(bias, (b, h, sq, sk)).astype(jnp.float32)
         bias = _pad_to(_pad_to(bias, 3, block_k, DEFAULT_MASK_VALUE), 2, block_q)
 
     causal_offset = sk - sq
     grid = (b, h, sq_p // block_q, sk_p // block_k)
-    kernel = functools.partial(
-        _flash_kernel, sm_scale=sm_scale, causal=causal,
-        causal_offset=causal_offset, block_q=block_q, block_k=block_k,
-    )
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
         pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
@@ -147,26 +176,47 @@ def flash_attention_forward(
     ]
     args = [q_p, k_p, v_p]
     if bias is not None:
-        def kernel_with_bias(q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr):
-            _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                          sm_scale=sm_scale, causal=causal,
-                          causal_offset=causal_offset, block_q=block_q,
-                          block_k=block_k, bias_ref=b_ref)
-        kernel = kernel_with_bias
         in_specs.append(
             pl.BlockSpec((1, 1, block_q, block_k), lambda b_, h_, iq, ik: (b_, h_, iq, ik))
         )
         args.append(bias)
 
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))]
+    if return_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, sq_p, LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+        )
+
+    def kernel(*refs):
+        q_ref, k_ref, v_ref = refs[:3]
+        idx = 3
+        bias_ref = None
+        if bias is not None:
+            bias_ref = refs[idx]
+            idx += 1
+        o_ref = refs[idx]
+        idx += 1
+        lse_ref = refs[idx] if return_lse else None
+        idx += 1 if return_lse else 0
+        m_scr, l_scr, acc_scr = refs[idx:idx + 3]
+        _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                      sm_scale=sm_scale, causal=causal,
+                      causal_offset=causal_offset, block_q=block_q,
+                      block_k=block_k, sq=sq, sk=sk,
+                      precision=_dot_precision(q.dtype),
+                      bias_ref=bias_ref, lse_ref=lse_ref)
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -174,7 +224,198 @@ def flash_attention_forward(
         ),
         interpret=_interpret(),
     )(*args)
-    return out[:, :, :sq, :]
+    out = outs[0][:, :, :sq, :]
+    if return_lse:
+        return out, outs[1]
+    return out
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, sm_scale, causal, causal_offset,
+                   block_q, block_k, sq, sk, precision):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    should_compute = True
+    if causal:
+        should_compute = (iq + 1) * block_q - 1 + causal_offset >= ik * block_k
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]          # (block_q, 1) log2-space
+        delta = delta_ref[0, 0][:, 0:1]      # (block_q, 1)
+
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * (sm_scale * LOG2E)
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = col < sk
+        if causal:
+            valid = jnp.logical_and(valid, row + causal_offset >= col)
+        if sq % block_q != 0:
+            valid = jnp.logical_and(valid, row < sq)
+        p = jnp.where(valid, jnp.exp2(s2 - lse), 0.0)  # (block_q, block_k)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                              # (block_q, block_k)
+        ds = p * (dp - delta)                          # d/ds in natural space
+        dq_scr[:] = dq_scr[:] + jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * sm_scale
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale, causal,
+                    causal_offset, block_q, block_k, sq, sk, precision):
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    should_compute = True
+    if causal:
+        should_compute = (iq + 1) * block_q - 1 + causal_offset >= ik * block_k
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
+
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * (sm_scale * LOG2E)
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = jnp.logical_and(row < sq, col < sk)
+        if causal:
+            valid = jnp.logical_and(valid, row + causal_offset >= col)
+        p = jnp.where(valid, jnp.exp2(s2 - lse), 0.0)
+
+        # dv += p^T @ do   (contract the q-block dim)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - delta)
+        # dk += ds^T @ q * scale
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * sm_scale
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
+                    block_q=512, block_k=512):
+    """Blockwise dq/dk/dv: two Pallas kernels recomputing p from (q, k, lse).
+
+    No (Sq, Sk) buffer is ever materialized — this is the FlashAttention-2
+    backward, replacing the round-1 XLA recompute that did.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    block_q = min(block_q, max(sq, 8))
+    block_k = min(block_k, max(sk, 8))
+
+    q_p = _pad_to(q, 2, block_q)
+    do_p = _pad_to(do, 2, block_q)
+    o_p = _pad_to(out, 2, block_q)
+    k_p = _pad_to(k, 2, block_k)
+    v_p = _pad_to(v, 2, block_k)
+    sq_p, sk_p = q_p.shape[2], k_p.shape[2]
+    # lse from forward is already (b, h, sq_p, LANES) for matching block_q;
+    # re-pad defensively if the caller passed a differently-padded buffer.
+    lse_p = _pad_to(lse, 2, block_q)[:, :, :sq_p]
+
+    # delta_i = rowsum(dO_i * O_i): O(S*D) elementwise, fine in XLA
+    delta = jnp.sum(do_p.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)
+    delta_p = jnp.broadcast_to(delta[..., None], (*delta.shape, LANES))
+
+    causal_offset = sk - sq
+    common = dict(sm_scale=sm_scale, causal=causal, causal_offset=causal_offset,
+                  block_q=block_q, block_k=block_k, sq=sq, sk=sk,
+                  precision=_dot_precision(q.dtype))
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+    k_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
+    lse_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(b, h, sq_p // block_q, sk_p // block_k),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, lse_spec, lse_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+
+    # dk/dv grid transposes the sequence axes: k blocks parallel, q sequential
+    kq_q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
+    kq_k_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, ik, iq: (b_, h_, ik, 0))
+    kq_lse_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(b, h, sk_p // block_k, sq_p // block_q),
+        in_specs=[kq_q_spec, kq_k_spec, kq_k_spec, kq_q_spec, kq_lse_spec, kq_lse_spec],
+        out_specs=[kq_k_spec, kq_k_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+
+    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
 
 def _xla_attention(q, k, v, bias, causal, sm_scale):
@@ -193,20 +434,34 @@ def _xla_attention(q, k, v, bias, causal, sm_scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q, k, v, bias=None, causal=False, sm_scale=None):
-    """Differentiable fused attention: Pallas forward, XLA-recompute backward."""
+    """Differentiable fused attention: Pallas forward AND backward (bias-free
+    path); with a bias the backward falls back to an XLA recompute."""
     return flash_attention_forward(q, k, v, bias, causal=causal, sm_scale=sm_scale)
 
 
 def _fa_fwd(q, k, v, bias, causal, sm_scale):
-    return flash_attention_forward(q, k, v, bias, causal=causal, sm_scale=sm_scale), (q, k, v, bias)
+    if bias is None:
+        out, lse = flash_attention_forward(
+            q, k, v, None, causal=causal, sm_scale=sm_scale, return_lse=True
+        )
+        return out, (q, k, v, out, lse)
+    out = flash_attention_forward(q, k, v, bias, causal=causal, sm_scale=sm_scale)
+    return out, (q, k, v, bias)
 
 
 def _fa_bwd(causal, sm_scale, res, g):
+    if len(res) == 5:  # bias-free: blockwise Pallas backward
+        q, k, v, out, lse = res
+        dq, dk, dv = _flash_backward(
+            q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale
+        )
+        return dq, dk, dv, None
     q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_, causal, sm_scale), q, k, v, bias)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_, causal, sm_scale),
+        q, k, v, bias,
+    )
     dq, dk, dv, dbias = vjp(g)
-    if bias is None:
-        dbias = None
     return dq, dk, dv, dbias
 
 
