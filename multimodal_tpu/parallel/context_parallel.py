@@ -23,9 +23,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _block_attn(q, k, v, scale):
-    """Unnormalized block attention: returns (acc, m, l) for online merging."""
+_NEG_INF = -1e30
+
+
+def _block_attn(q, k, v, scale, mask=None):
+    """Unnormalized block attention: returns (acc, m, l) for online merging.
+
+    ``mask`` (broadcastable to (b, h, q, k)) marks *visible* positions; masked
+    logits are pushed to -inf before the row max so fully-masked columns never
+    contribute.
+    """
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -33,12 +43,19 @@ def _block_attn(q, k, v, scale):
     return acc, m, l
 
 
-def gather_kv_attention(q, k, v, axis_name: str, sm_scale: Optional[float] = None):
+def gather_kv_attention(
+    q, k, v, axis_name: str, sm_scale: Optional[float] = None, causal: bool = False
+):
     """All-gather K/V over the cp axis, attend locally-sharded queries."""
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k_full, preferred_element_type=jnp.float32) * scale
+    if causal:
+        # Global positions: queries start at rank * local_seq; keys are global.
+        sq, sk = q.shape[2], k_full.shape[2]
+        q_pos = jax.lax.axis_index(axis_name) * sq + jnp.arange(sq)
+        s = jnp.where(q_pos[:, None] >= jnp.arange(sk)[None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v_full)
 
@@ -49,24 +66,46 @@ def context_parallel_attention(
     v: jnp.ndarray,
     axis_name: str,
     sm_scale: Optional[float] = None,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Ring attention: K/V blocks rotate around the cp ring via ppermute;
     per-block partial softmax statistics are merged online (flash-style), so
     the full sequence never materializes on one device.
 
-    q, k, v: (b, h, local_seq, d) — the local sequence shard.
+    q, k, v: (b, h, local_seq, d) — the local sequence shard (contiguous
+    layout: device r owns global positions [r*local_seq, (r+1)*local_seq)).
+
+    ``causal=True`` applies a *global* causal mask: the diagonal K/V block
+    gets a within-block lower-triangular mask, blocks originating from earlier
+    ranks are fully visible, and blocks from later ranks are dropped from the
+    online-softmax merge (their rotations still run — the ring is SPMD — but
+    they contribute zero probability mass). This is what the reference lacks
+    entirely (SURVEY §5.7); it makes decoder training usable under cp.
     """
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    rank = jax.lax.axis_index(axis_name)
 
-    acc, m, l = _block_attn(q, k, v, scale)
+    diag_mask = None
+    if causal:
+        sq = q.shape[2]
+        diag_mask = jnp.arange(sq)[:, None] >= jnp.arange(sq)[None, :]
+    acc, m, l = _block_attn(q, k, v, scale, mask=diag_mask)
 
     def body(i, carry):
         acc, m, l, k_blk, v_blk = carry
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         acc_i, m_i, l_i = _block_attn(q, k_blk, v_blk, scale)
+        if causal:
+            # At loop step i the block has rotated i+1 times, so it started on
+            # rank (rank - i - 1) mod n; under the global causal mask it is
+            # fully visible iff it came from an earlier rank, else fully hidden.
+            src = jnp.mod(rank - i - 1, n)
+            visible = src < rank
+            m_i = jnp.where(visible, m_i, _NEG_INF)
+            l_i = jnp.where(visible, l_i, 0.0)
         m_new = jnp.maximum(m, m_i)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_i - m_new)

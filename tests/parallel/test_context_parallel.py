@@ -14,9 +14,12 @@ from multimodal_tpu.parallel.context_parallel import (
 from tests.test_utils import assert_expected
 
 
-def _full_attention(q, k, v):
+def _full_attention(q, k, v, causal=False):
     scale = q.shape[-1] ** -0.5
     s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if causal:
+        sq, sk = q.shape[2], k.shape[2]
+        s = np.where(np.arange(sq)[:, None] >= np.arange(sk)[None, :], s, -1e30)
     s = s - s.max(-1, keepdims=True)
     p = np.exp(s)
     p = p / p.sum(-1, keepdims=True)
@@ -41,3 +44,44 @@ def test_ring_attention_matches_full():
         )
         out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         assert_expected(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_causal_ring_attention_matches_full():
+    """Decoder-training mode: global causal mask across the cp ring."""
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ("cp",))
+    rng = np.random.RandomState(1)
+    q = rng.randn(2, 4, 64, 16).astype(np.float32)
+    k = rng.randn(2, 4, 64, 16).astype(np.float32)
+    v = rng.randn(2, 4, 64, 16).astype(np.float32)
+    ref = _full_attention(q, k, v, causal=True)
+
+    for fn in (context_parallel_attention, gather_kv_attention):
+        sharded = shard_map(
+            lambda q_, k_, v_: fn(q_, k_, v_, "cp", causal=True),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp"), P(None, None, "cp"), P(None, None, "cp")),
+            out_specs=P(None, None, "cp"),
+        )
+        out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        assert_expected(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_causal_ring_attention_cp_vs_single_device():
+    """cp=8 causal ring output equals the same computation on one device."""
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ("cp",))
+    rng = np.random.RandomState(2)
+    q = rng.randn(1, 2, 128, 32).astype(np.float32)
+    k = rng.randn(1, 2, 128, 32).astype(np.float32)
+    v = rng.randn(1, 2, 128, 32).astype(np.float32)
+    ref = _full_attention(q, k, v, causal=True)
+
+    sharded = shard_map(
+        lambda q_, k_, v_: context_parallel_attention(q_, k_, v_, "cp", causal=True),
+        mesh=mesh,
+        in_specs=(P(None, None, "cp"), P(None, None, "cp"), P(None, None, "cp")),
+        out_specs=P(None, None, "cp"),
+    )
+    out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert_expected(out, ref, rtol=2e-4, atol=2e-5)
