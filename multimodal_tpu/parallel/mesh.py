@@ -60,9 +60,66 @@ def create_mesh(
     return Mesh(dev_array, names)
 
 
+def create_hybrid_mesh(
+    dcn_dp: int,
+    dp: int = 1,
+    fsdp: int = -1,
+    tp: int = 1,
+    cp: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+    allow_split_physical_axes: bool = False,
+) -> Mesh:
+    """Multi-slice mesh: an outer ``dcn`` data-parallel axis over the
+    slow inter-slice DCN network, inner dp/fsdp/tp/cp axes over each
+    slice's ICI (SURVEY §7 step 11 — pods, not just one slice).
+
+    Lays devices out with ``mesh_utils.create_hybrid_device_mesh`` so only
+    gradient all-reduces (dp traffic) cross DCN, while parameter
+    all-gathers / tp collectives ride ICI within each slice. On hosts
+    without real multi-slice topology (CPU virtual devices, single slice)
+    falls back to a plain reshape with the same axis names, keeping tests
+    and dryruns runnable anywhere.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % dcn_dp:
+        raise ValueError(f"{n} devices not divisible by dcn_dp={dcn_dp}")
+    per_slice = n // dcn_dp
+    sizes = {"dp": dp, "fsdp": fsdp, "tp": tp, "cp": cp}
+    unknown = [k for k, v in sizes.items() if v == -1]
+    if len(unknown) > 1:
+        raise ValueError("only one axis may be -1")
+    if unknown:
+        known = int(np.prod([v for v in sizes.values() if v != -1]))
+        if per_slice % known:
+            raise ValueError(f"{per_slice} per-slice devices not divisible by {known}")
+        sizes[unknown[0]] = per_slice // known
+    ici_shape = tuple(sizes[k] for k in ("dp", "fsdp", "tp", "cp"))
+    if int(np.prod(ici_shape)) != per_slice:
+        raise ValueError(f"per-slice mesh {sizes} needs {np.prod(ici_shape)}, have {per_slice}")
+    names = ("dcn", "dp", "fsdp", "tp", "cp")
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=ici_shape,
+            dcn_mesh_shape=(dcn_dp, 1, 1, 1),
+            devices=devices,
+            allow_split_physical_axes=allow_split_physical_axes,
+        ).reshape((dcn_dp,) + ici_shape)
+    except (ValueError, AssertionError):
+        # single-slice / virtual-device fallback: no process boundaries to
+        # optimize for, a contiguous reshape is the right layout
+        dev_array = np.asarray(devices).reshape((dcn_dp,) + ici_shape)
+    return Mesh(dev_array, names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard batch dim over the dp and fsdp axes jointly."""
-    return NamedSharding(mesh, P(("dp", "fsdp")))
+    """Shard batch dim over the data-parallel axes (incl. a dcn axis when
+    the mesh is multi-slice) and fsdp jointly."""
+    axes = tuple(a for a in ("dcn", "dp", "fsdp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

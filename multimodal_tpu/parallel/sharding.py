@@ -143,7 +143,7 @@ def replicated_sharding(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
 
 
-def batch_sharding(mesh: Mesh, batch_axes=("dp", "fsdp")) -> NamedSharding:
+def batch_sharding(mesh: Mesh, batch_axes=("dcn", "dp", "fsdp")) -> NamedSharding:
     """Shard the leading (batch) dim over the data axes jointly."""
     axes = tuple(a for a in batch_axes if a in mesh.shape and mesh.shape[a] > 1)
     if not axes:

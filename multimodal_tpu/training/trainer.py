@@ -195,6 +195,17 @@ class Trainer:
         data_iter = iter(data)
         t0 = time.perf_counter()
         items = 0
+        # Metrics stay on device between log boundaries: pulling them with
+        # float() every step would block dispatch and stall the pipeline
+        # (the step counter is tracked host-side for the same reason).
+        start_step = int(state["step"])
+        pending = []  # (step, device-metrics dict, items_per_sec)
+
+        def flush():
+            for s, m, ips in pending:
+                self.logger.log(s, {**m, "items_per_sec": ips})
+            pending.clear()
+
         with self.mesh:
             for i in range(num_steps):
                 batch = next(data_iter)
@@ -205,19 +216,24 @@ class Trainer:
                 state, metrics = self._step_fn(state, batch, step_rng)
                 leaves = [l for l in jax.tree_util.tree_leaves(batch) if jnp.ndim(l) > 0]
                 items += leaves[0].shape[0] if leaves else 1
-                step = int(state["step"])
+                step = start_step + i + 1
                 dt = time.perf_counter() - t0
-                self.logger.log(step, {**metrics, "items_per_sec": items / max(dt, 1e-9)})
+                pending.append((step, metrics, items / max(dt, 1e-9)))
+                if step % self.logger.log_interval == 0 or i == num_steps - 1:
+                    flush()
                 if eval_fn is not None and (
                     (eval_every and step % eval_every == 0) or i == num_steps - 1
                 ):
+                    flush()
                     eval_metrics = eval_fn(state["params"])
                     self.logger.log(
                         step, {f"eval_{k}": v for k, v in eval_metrics.items()}
                     )
                 if self.ckpt is not None and checkpoint_every and step % checkpoint_every == 0:
+                    flush()
                     self.ckpt.save(step, jax.device_get(state))
                 if self._preempted:
+                    flush()
                     self.ckpt.save(step, jax.device_get(state))
                     print(f"preemption checkpoint saved at step {step}", flush=True)
                     break
