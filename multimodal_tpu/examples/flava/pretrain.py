@@ -11,8 +11,13 @@ Usage::
     python -m multimodal_tpu.examples.flava.pretrain \
         --config path/to.yaml model.size=900m train.steps=100 train.lr=1e-4
 
-Without a dataset path, trains on synthetic image/text batches — useful for
-smoke/perf runs (the reference debug config does the same scale-down).
+With ``data.path`` set (an on-disk HF arrow dataset, a jsonl file of
+{image, text} samples, or an image folder), trains on the real-data layer:
+``VLDataModule`` applies the two-way FLAVA image transform, WordPiece (or
+hash-fallback) tokenization, MLM masking, and ITM negative pairing on the
+host. Without a dataset path, trains on synthetic image/text batches —
+useful for smoke/perf runs (the reference debug config does the same
+scale-down).
 """
 
 from __future__ import annotations
@@ -43,6 +48,11 @@ DEFAULTS: Dict[str, Any] = {
         "overrides": {},         # extra flava_model kwargs (debug scale-downs)
     },
     "data": {
+        "path": None,            # dataset path -> real-data pipeline
+        "image_key": "image",
+        "text_key": "text",
+        "vocab_path": None,      # WordPiece vocab file; hash fallback if None
+        "itm_probability": 0.1,
         "batch_size": 8,
         "text_len": 77,
         "mlm_probability": 0.15,
@@ -87,6 +97,95 @@ def synthetic_batches(cfg: Dict[str, Any]) -> Iterator[Dict[str, np.ndarray]]:
         }
 
 
+class HashTokenizer:
+    """Deterministic vocab-free fallback: word -> stable id in [1000, vocab).
+    Lets the real-data path run without shipping a 30k-line vocab file; swap
+    in ``data.vocab_path`` for real WordPiece."""
+
+    def __init__(self, vocab_size: int, max_length: int):
+        self.max_length = max_length
+        # word ids live in [base, vocab): below base are specials/reserved
+        self.base = min(1000, max(104, vocab_size // 2))
+        self.span = vocab_size - self.base
+        if self.span < 1:
+            raise ValueError(f"vocab_size={vocab_size} too small")
+
+    def __call__(self, texts):
+        import zlib
+
+        out = np.zeros((len(texts), self.max_length), np.int64)
+        for i, t in enumerate(texts):
+            ids = [101] + [
+                self.base + zlib.crc32(w.lower().encode()) % self.span
+                for w in t.split()
+            ][: self.max_length - 2] + [102]
+            out[i, : len(ids)] = ids
+        return out
+
+
+def build_text_transform(cfg: Dict[str, Any]):
+    d, m = cfg["data"], cfg["model"]
+    if d["vocab_path"]:
+        from multimodal_tpu.examples.mugen.bert_text_transform import BertTextTransform
+
+        bert = BertTextTransform(d["vocab_path"], max_length=d["text_len"])
+
+        def transform(texts):
+            ids = bert(list(texts))
+            out = np.full((len(texts), d["text_len"]), bert.pad_id, np.int64)
+            out[:, : ids.shape[1]] = ids[:, : d["text_len"]]
+            return out
+
+        return transform
+    return HashTokenizer(m["vocab_size"], d["text_len"])
+
+
+def real_batches(cfg: Dict[str, Any]):
+    """VLDataModule over an on-disk dataset (reference VLDataModule analog)."""
+    from PIL import Image
+
+    from multimodal_tpu.data.datamodules import VLDataModule
+    from multimodal_tpu.data.datasets import load_dataset
+    from multimodal_tpu.transforms.flava_transform import FLAVAImageTransform
+
+    d, m = cfg["data"], cfg["model"]
+    dataset = load_dataset(d["path"], split="train")
+    n_patches = m["image_size"] // m["patch_size"]
+    mask_patches = max(1, round(75 / 196 * n_patches * n_patches))
+    flava_transform = FLAVAImageTransform(
+        is_train=True,
+        encoder_input_size=m["image_size"],
+        codebook_input_size=n_patches * 8,  # dVAE downsamples 8x
+        mask_window_size=n_patches,
+        mask_num_patches=mask_patches,
+        mask_min_patches=min(16, mask_patches),
+        rng=np.random.RandomState(d["seed"]),
+    )
+
+    def image_transform(img):
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(np.asarray(img, np.uint8))
+        return flava_transform.transform(img)
+
+    collator = MLMCollator(
+        vocab_size=m["vocab_size"], mask_token_id=103,
+        mlm_probability=d["mlm_probability"], special_token_ids=(0, 101, 102),
+        ignore_index=-1,
+    )
+    dm = VLDataModule(
+        dataset,
+        image_transform=image_transform,
+        text_transform=build_text_transform(cfg),
+        mlm_collator=collator,
+        itm_probability=d["itm_probability"],
+        batch_size=d["batch_size"],
+        seed=d["seed"],
+        image_key=d["image_key"],
+        text_key=d["text_key"],
+    )
+    return dm.train_batches()
+
+
 def build_trainer_and_state(cfg: Dict[str, Any]):
     m, t = cfg["model"], cfg["train"]
     dtype = jnp.bfloat16 if m["bf16"] else jnp.float32
@@ -101,6 +200,8 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
     )
 
     sample = next(synthetic_batches(cfg))
+    b = cfg["data"]["batch_size"]
+    n_patches = m["image_size"] // m["patch_size"]
     params = model.init(
         jax.random.PRNGKey(0),
         image=jnp.asarray(sample["image"]),
@@ -108,6 +209,11 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
         text_masked=jnp.asarray(sample["text_masked"]),
         itm_labels=jnp.asarray(sample["itm_labels"]),
         mlm_labels=jnp.asarray(sample["mlm_labels"]),
+        # init the dVAE codebook path too, so real-data batches (which carry
+        # image_for_codebook + image_patches_mask) can exercise MIM; the dVAE
+        # downsamples 8x, so its input is 8px per patch-grid cell
+        image_for_codebook=jnp.zeros((b, n_patches * 8, n_patches * 8, 3), jnp.float32),
+        image_patches_mask=jnp.zeros((b, n_patches, n_patches), jnp.int32),
     )
 
     def loss_fn(params, batch, rng):
@@ -118,6 +224,8 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
             text_masked=batch["text_masked"],
             itm_labels=batch["itm_labels"],
             mlm_labels=batch["mlm_labels"],
+            image_for_codebook=batch.get("image_for_codebook"),
+            image_patches_mask=batch.get("image_patches_mask"),
         )
         losses = out.losses
         aux = {
@@ -168,9 +276,10 @@ def main(argv=None) -> None:
     print(f"model={cfg['model']['size']} params={n_params / 1e6:.1f}M "
           f"devices={jax.device_count()} strategy={cfg['train']['strategy']}",
           flush=True)
+    data = real_batches(cfg) if cfg["data"]["path"] else synthetic_batches(cfg)
     state = trainer.fit(
         state,
-        synthetic_batches(cfg),
+        data,
         num_steps=cfg["train"]["steps"],
         checkpoint_every=cfg["train"]["checkpoint_every"],
     )

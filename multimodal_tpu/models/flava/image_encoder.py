@@ -75,7 +75,8 @@ class ImageEmbeddings(nn.Module):
                 "mask_token", nn.initializers.zeros, (1, 1, self.hidden_size),
                 self.param_dtype,
             )
-            m = image_patches_mask[..., None].astype(embeddings.dtype)
+            # mask arrives flat (b, n) or as the transform's (b, gh, gw) grid
+            m = image_patches_mask.reshape(b, -1)[..., None].astype(embeddings.dtype)
             embeddings = embeddings * (1 - m) + mask_token.astype(embeddings.dtype) * m
 
         cls = jnp.broadcast_to(
