@@ -37,6 +37,8 @@ def dalle2_decoder(
     unet = ADMUNet(
         in_channels=image_channels,
         out_channels=image_channels,
+        embed_name=clip_embed_name,
+        dim_attn_cond=unet_kwargs.pop("dim_attn_cond", dim_res_cond),
         channels_per_layer=channels_per_layer,
         dim_res_cond=dim_res_cond,
         predict_variance_value=predict_variance_value,

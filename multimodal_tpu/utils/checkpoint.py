@@ -786,3 +786,102 @@ def deepset_fusion_params_from_torch(state_dict: Mapping) -> Dict[str, Any]:
     for key in sorted({k.split(".")[1] for k in sd if k.startswith("projections.")}):
         params[f"projection_{key}"] = _linear(sd, f"projections.{key}")
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# ADM U-Net (diffusion_labs)
+
+def _groupnorm(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _t2j(sd[f"{prefix}.weight"]), "bias": _t2j(sd[f"{prefix}.bias"])}
+
+
+def _adm_res_block(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Reference ADMResBlock (res_block.py:40) -> ADMResBlock params."""
+    out = {
+        "norm1": _groupnorm(sd, f"{prefix}.in_block.0"),
+        "conv1": _conv2d_nchw(sd, f"{prefix}.in_block.3"),
+        "cond_proj": _linear(sd, f"{prefix}.cond_proj.1"),
+        "norm2": _groupnorm(sd, f"{prefix}.out_group_norm"),
+        "conv2": _conv2d_nchw(sd, f"{prefix}.out_block.2"),
+    }
+    if f"{prefix}.skip_block.1.weight" in sd:
+        out["skip"] = _conv2d_nchw(sd, f"{prefix}.skip_block.1")
+    return out
+
+
+def _adm_attn_block(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Reference ADMAttentionBlock + ADMCrossAttention (attention_block.py)."""
+    out = {
+        "norm": _groupnorm(sd, f"{prefix}.norm"),
+        "q": _linear(sd, f"{prefix}.attn.query"),
+        "k": _linear(sd, f"{prefix}.attn.key"),
+        "v": _linear(sd, f"{prefix}.attn.value"),
+        "proj": _linear(sd, f"{prefix}.attn.output"),
+    }
+    if f"{prefix}.attn.attn.cond_proj.weight" in sd:
+        out["cond_proj"] = _linear(sd, f"{prefix}.attn.attn.cond_proj")
+    return out
+
+
+def adm_unet_params_from_torch(torch_model) -> Dict[str, Any]:
+    """Convert a reference ``ADMUNet`` (adm.py:27) to ADMUNet params.
+
+    Walks the same construction order as both implementations: down stacks
+    (res[+attn] x num_res, then a downsample res), bottleneck (res/attn/res),
+    up stacks (res[+attn], upsample res riding in each layer's last stack).
+    """
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    L = list(torch_model.channels_per_layer)
+    num_resize = torch_model.num_resize
+    num_res = torch_model.num_res_per_layer
+    use_attn = list(torch_model.use_attention_for_layer)
+
+    params: Dict[str, Any] = {
+        "time_dense1": _linear(sd, "timestep_encoder.1"),
+        "time_dense2": _linear(sd, "timestep_encoder.3"),
+        "conv_in": _conv2d_nchw(sd, "down.0._module_list.0"),
+    }
+    if torch_model.res_cond_proj is not None:
+        for key in torch_model.res_cond_proj:
+            params[f"res_cond_{key}"] = _linear(sd, f"res_cond_proj.{key}")
+    if torch_model.attn_cond_proj is not None:
+        for key in torch_model.attn_cond_proj:
+            params[f"attn_cond_{key}"] = _linear(sd, f"attn_cond_proj.{key}.0")
+
+    di = 1  # down.0 is the input conv stack
+    for li in range(len(L)):
+        for bi in range(num_res):
+            stack = {"res_0": _adm_res_block(sd, f"down.{di}._module_list.0")}
+            if use_attn[li]:
+                stack["attn_1"] = _adm_attn_block(sd, f"down.{di}._module_list.1")
+            params[f"down_{li}_{bi}"] = stack
+            di += 1
+        if li < num_resize:
+            params[f"down_resize_{li}"] = {
+                "res_0": _adm_res_block(sd, f"down.{di}._module_list.0")
+            }
+            di += 1
+
+    params["bottleneck"] = {
+        "res_0": _adm_res_block(sd, "bottleneck._module_list.0"),
+        "attn_1": _adm_attn_block(sd, "bottleneck._module_list.1"),
+        "res_2": _adm_res_block(sd, "bottleneck._module_list.2"),
+    }
+
+    up_attn = list(reversed(use_attn))
+    ui = 0
+    for li in range(len(L)):
+        for bi in range(num_res + 1):
+            stack = {"res_0": _adm_res_block(sd, f"up.{ui}._module_list.0")}
+            idx = 1
+            if up_attn[li]:
+                stack[f"attn_{idx}"] = _adm_attn_block(sd, f"up.{ui}._module_list.{idx}")
+                idx += 1
+            if bi == num_res and li < num_resize:
+                stack[f"res_{idx}"] = _adm_res_block(sd, f"up.{ui}._module_list.{idx}")
+            params[f"up_{li}_{bi}"] = stack
+            ui += 1
+
+    params["norm_out"] = _groupnorm(sd, f"up.{ui}._module_list.0.0")
+    params["conv_out"] = _conv2d_nchw(sd, f"up.{ui}._module_list.0.2")
+    return {"params": params}

@@ -182,7 +182,8 @@ def test_adm_unet_forward():
     unet = ADMUNet(
         channels_per_layer=(8, 16), num_resize=1, num_res_per_layer=1,
         use_attention_for_layer=(False, True), dim_res_cond=16,
-        predict_variance_value=True, embed_dim=8, num_heads=2,
+        predict_variance_value=True, time_embed_dim=8, num_heads=2,
+        dim_attn_cond=16, embed_name="clip",
     )
     x = jnp.ones((1, 8, 8, 3))
     t = jnp.asarray([3])
