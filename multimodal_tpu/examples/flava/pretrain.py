@@ -57,6 +57,9 @@ DEFAULTS: Dict[str, Any] = {
         "text_len": 77,
         "mlm_probability": 0.15,
         "seed": 0,
+        "imagenet_path": None,   # image-folder/arrow dataset -> zero-shot eval
+        "eval_batch_size": 64,
+        "zero_shot_templates": None,  # cap on prompt templates (None = all 80)
     },
     "train": {
         "steps": 10,
@@ -68,6 +71,7 @@ DEFAULTS: Dict[str, Any] = {
         "skip_nonfinite_updates": True,
         "checkpoint_dir": None,
         "checkpoint_every": None,
+        "eval_every": None,
         "log_dir": None,
         "log_interval": 1,
     },
@@ -186,18 +190,84 @@ def real_batches(cfg: Dict[str, Any]):
     return dm.train_batches()
 
 
-def build_trainer_and_state(cfg: Dict[str, Any]):
-    m, t = cfg["model"], cfg["train"]
+def build_zero_shot_eval(cfg: Dict[str, Any], model):
+    """ImageNet zero-shot eval_fn for Trainer.fit (the reference callback at
+    ``examples/flava/callbacks/multimodal_eval.py``, run over the full
+    classnames x templates protocol from the data layer)."""
+    import jax.numpy as jnp
+
+    from multimodal_tpu.data.datamodules import ImageDataModule
+    from multimodal_tpu.data.datasets import load_dataset
+    from multimodal_tpu.data.imagenet_zeroshot import (
+        imagenet_classnames,
+        imagenet_templates,
+        imagenet_zero_shot_eval,
+    )
+    from multimodal_tpu.transforms.flava_transform import FLAVAImageTransform
+
+    d, m = cfg["data"], cfg["model"]
+    dataset = load_dataset(d["imagenet_path"], split="val")
+    # class names from the dataset when it carries them (image folders),
+    # otherwise the canonical ImageNet-1k list
+    if len(dataset) and isinstance(dataset[0], dict) and "classname" in dataset[0]:
+        classnames = sorted({dataset[i]["classname"] for i in range(len(dataset))})
+    else:
+        classnames = imagenet_classnames()
+    templates = imagenet_templates()
+    if d["zero_shot_templates"]:
+        templates = templates[: d["zero_shot_templates"]]
+    eval_transform = FLAVAImageTransform(
+        is_train=False, encoder_input_size=m["image_size"],
+        codebook_input_size=8, mask_num_patches=1, mask_window_size=1,
+        mask_min_patches=1,
+    )
+
+    def image_transform(img):
+        from PIL import Image
+
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(np.asarray(img, np.uint8))
+        return {"image": eval_transform.transform(img)["image"]}
+
+    dm = ImageDataModule(
+        dataset, image_transform=image_transform,
+        batch_size=d["eval_batch_size"], shuffle=False, drop_last=False,
+        prefetch=0,
+    )
+    tokenize = build_text_transform(cfg)
+
+    def eval_fn(params):
+        def encode_image(images):
+            return model.apply(params, jnp.asarray(images), method=model.encode_image)
+
+        def encode_text(tokens):
+            return model.apply(params, jnp.asarray(tokens), method=model.encode_text)
+
+        return imagenet_zero_shot_eval(
+            encode_image, encode_text, tokenize, dm.eval_batches(),
+            classnames=classnames, templates=templates,
+        )
+
+    return eval_fn
+
+
+def _build_model(cfg: Dict[str, Any]):
+    m = cfg["model"]
     dtype = jnp.bfloat16 if m["bf16"] else jnp.float32
     kwargs = dict(FLAVA_CONFIGS[m["size"]])
     kwargs.update(m["overrides"])
-    model = flava_model_for_pretraining(
+    return flava_model_for_pretraining(
         vocab_size=m["vocab_size"],
         image_size=m["image_size"],
         patch_size=m["patch_size"],
         dtype=dtype,
         **kwargs,
     )
+
+
+def build_trainer_and_state(cfg: Dict[str, Any]):
+    m, t = cfg["model"], cfg["train"]
+    model = _build_model(cfg)
 
     sample = next(synthetic_batches(cfg))
     b = cfg["data"]["batch_size"]
@@ -277,11 +347,18 @@ def main(argv=None) -> None:
           f"devices={jax.device_count()} strategy={cfg['train']['strategy']}",
           flush=True)
     data = real_batches(cfg) if cfg["data"]["path"] else synthetic_batches(cfg)
+    eval_fn = None
+    if cfg["data"]["imagenet_path"]:
+        # note: eval_fn closes over the model built inside
+        # build_trainer_and_state; rebuild the same module (cheap, stateless)
+        eval_fn = build_zero_shot_eval(cfg, _build_model(cfg))
     state = trainer.fit(
         state,
         data,
         num_steps=cfg["train"]["steps"],
         checkpoint_every=cfg["train"]["checkpoint_every"],
+        eval_fn=eval_fn,
+        eval_every=cfg["train"].get("eval_every"),
     )
     print(f"finished at step {int(state['step'])}", flush=True)
 

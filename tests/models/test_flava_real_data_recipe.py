@@ -40,6 +40,58 @@ def _write_dataset(tmp_path, n=12):
     return str(path)
 
 
+def test_flava_zero_shot_eval_wiring(tmp_path):
+    """build_zero_shot_eval runs the full protocol (classnames x templates
+    classifier + top-k over an eval stream) against a tiny image folder."""
+    from PIL import Image
+
+    from multimodal_tpu.examples.flava.pretrain import (
+        _build_model,
+        build_zero_shot_eval,
+    )
+
+    rng = np.random.RandomState(0)
+    for cls in ("apple", "banana"):
+        d = tmp_path / "val" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+
+    cfg = build_config(
+        CONFIG,
+        overrides=[
+            f"data.imagenet_path={tmp_path}",
+            "data.eval_batch_size=4",
+            "data.zero_shot_templates=2",
+        ],
+        defaults=DEFAULTS,
+    )
+    model = _build_model(cfg)
+    eval_fn = build_zero_shot_eval(cfg, model)
+
+    import jax
+    import jax.numpy as jnp
+
+    s = cfg["model"]["image_size"]
+    n = s // cfg["model"]["patch_size"]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        image=jnp.zeros((1, s, s, 3)),
+        text=jnp.zeros((1, cfg["data"]["text_len"]), jnp.int32),
+        text_masked=jnp.zeros((1, cfg["data"]["text_len"]), jnp.int32),
+        itm_labels=jnp.zeros((1,), jnp.int32),
+        mlm_labels=jnp.zeros((1, cfg["data"]["text_len"]), jnp.int32),
+        image_for_codebook=jnp.zeros((1, n * 8, n * 8, 3)),
+        image_patches_mask=jnp.zeros((1, n, n), jnp.int32),
+    )
+    metrics = eval_fn(params)
+    assert set(metrics) == {"top1", "top5"}
+    assert 0.0 <= metrics["top1"] <= 1.0
+    assert metrics["top5"] == 1.0  # only 2 classes -> top5 always right
+
+
 def test_flava_pretrain_on_real_dataset(tmp_path):
     data_path = _write_dataset(tmp_path)
     cfg = build_config(
