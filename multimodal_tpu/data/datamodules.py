@@ -103,6 +103,10 @@ class DataModule:
     ) -> Dict[str, np.ndarray]:
         return batch
 
+    def collate(self, samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        """Stack per-key; override for ragged fields (e.g. padded images)."""
+        return _collate(samples)
+
     # -- iteration ----------------------------------------------------------
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -121,7 +125,7 @@ class DataModule:
             if self.drop_last and len(chunk) < bs:
                 break
             samples = [self.process(self.dataset[int(i)], rng) for i in chunk]
-            yield self.postprocess(_collate(samples), rng)
+            yield self.postprocess(self.collate(samples), rng)
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """One deterministic unshuffled pass (may yield a ragged tail)."""
@@ -130,7 +134,7 @@ class DataModule:
         for start in range(0, len(self.dataset), bs):
             n = min(bs, len(self.dataset) - start)
             samples = [self.process(self.dataset[start + i], rng) for i in range(n)]
-            yield self.postprocess(_collate(samples), rng)
+            yield self.postprocess(self.collate(samples), rng)
 
     def train_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite stream, re-shuffled each epoch, prefetched off-thread."""
