@@ -178,3 +178,28 @@ def test_imagenet_zero_shot_eval_protocol():
     )
     assert out["top1"] == 0.75
     assert 0.75 <= out["top5"] <= 1.0
+
+
+def test_device_prefetch():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_tpu.data.device_prefetch import device_prefetch
+
+    batches = [{"x": np.full((4, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+    # with an explicit sharding over the mesh
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    big = [{"x": np.full((8, 2), i, np.float32)} for i in range(2)]
+    sharded = list(device_prefetch(iter(big), NamedSharding(mesh, P("dp"))))
+    assert sharded[0]["x"].sharding.spec == P("dp")
+
+    # short iterators (fewer batches than depth) still drain fully
+    assert len(list(device_prefetch(iter(batches[:1]), depth=4))) == 1
