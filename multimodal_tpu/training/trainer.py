@@ -20,6 +20,7 @@ Feature mapping (reference -> here):
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import signal
@@ -28,8 +29,10 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
+from multimodal_tpu.data.device_prefetch import device_prefetch
 from multimodal_tpu.parallel.mesh import create_mesh
 from multimodal_tpu.parallel.sharding import (
     batch_sharding,
@@ -170,9 +173,13 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def shard_batch(self, batch: Any) -> Any:
+        # device_put handles host numpy directly — one async H2D transfer
+        # per leaf (jnp.asarray first would stage on device 0, then reshard)
         sharding = batch_sharding(self.mesh)
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+            lambda x: jax.device_put(np.asarray(x) if not hasattr(x, "devices") else x,
+                                     sharding),
+            batch,
         )
 
     def fit(
@@ -192,7 +199,26 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = self._build_step()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        data_iter = iter(data)
+        raw_iter = iter(data)
+
+        def batches():
+            # double-buffered H2D: the next batch's transfer overlaps the
+            # current step's compute (data/device_prefetch.py)
+            while True:
+                try:
+                    b = next(raw_iter)
+                except StopIteration:
+                    return
+                if isinstance(b, tuple) and isinstance(b[0], str):
+                    b = b[1]  # MultiDataLoader yields (name, batch)
+                yield b
+
+        # bounded to exactly num_steps so look-ahead never swallows batches
+        # a subsequent fit() call on the same iterator should see
+        data_iter = device_prefetch(
+            itertools.islice(batches(), num_steps),
+            batch_sharding(self.mesh), depth=2,
+        )
         t0 = time.perf_counter()
         items = 0
         # Metrics stay on device between log boundaries: pulling them with
@@ -209,9 +235,6 @@ class Trainer:
         with self.mesh:
             for i in range(num_steps):
                 batch = next(data_iter)
-                if isinstance(batch, tuple) and isinstance(batch[0], str):
-                    batch = batch[1]  # MultiDataLoader yields (name, batch)
-                batch = self.shard_batch(batch)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = self._step_fn(state, batch, step_rng)
                 leaves = [l for l in jax.tree_util.tree_leaves(batch) if jnp.ndim(l) > 0]
