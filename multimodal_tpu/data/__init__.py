@@ -17,6 +17,7 @@ from multimodal_tpu.data.datamodules import (
     VLDataModule,
 )
 from multimodal_tpu.data.datasets import load_dataset
+from multimodal_tpu.data.device_prefetch import device_prefetch
 from multimodal_tpu.data.imagenet_zeroshot import (
     imagenet_classnames,
     imagenet_templates,
@@ -28,6 +29,7 @@ __all__ = [
     "MLMDataModule",
     "VLDataModule",
     "load_dataset",
+    "device_prefetch",
     "imagenet_classnames",
     "imagenet_templates",
 ]
