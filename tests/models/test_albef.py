@@ -75,6 +75,7 @@ def test_albef_forward_with_momentum(albef_setup):
     assert_expected(leaf, 0.01 * np.asarray(ref_leaf), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_albef_with_similarity_step(albef_setup):
     model, _, image, text, atts = albef_setup
     module = ALBEFModelWithSimilarity(

@@ -86,6 +86,7 @@ def test_blip2_frozen_vision(blip2_setup):
     assert total == 0.0  # frozen encoder gets no grads
 
 
+@pytest.mark.slow
 def test_blip2_phase1_losses(blip2_setup):
     model, variables, image, ids, mask = blip2_setup
     out = model.apply(variables, image, ids, mask)

@@ -60,6 +60,7 @@ def test_coca_text_decoder_eot_pooling():
     assert tokens.shape == (1, 8, 16)
 
 
+@pytest.mark.slow
 def test_coca_pretraining_losses(inputs):
     images, texts = inputs
     model = CoCaForPretraining(coca_vit(**SMALL))

@@ -178,6 +178,7 @@ def test_transforms(schedule):
     assert 0.0 < masked_frac < 0.5
 
 
+@pytest.mark.slow
 def test_adm_unet_forward():
     unet = ADMUNet(
         channels_per_layer=(8, 16), num_resize=1, num_res_per_layer=1,

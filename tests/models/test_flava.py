@@ -74,6 +74,7 @@ def test_flava_model_unimodal(mm_inputs):
     assert out_txt.image.last_hidden_state is None
 
 
+@pytest.mark.slow
 def test_flava_pretraining_mm_losses(mm_inputs):
     image, text = mm_inputs
     model = flava_model_for_pretraining(codebook_image_size=32, **SMALL)

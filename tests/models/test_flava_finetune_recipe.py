@@ -1,5 +1,6 @@
 """FLAVA classification fine-tune recipe: builds and takes one step."""
 
+import pytest
 from multimodal_tpu.examples.flava.finetune import (
     DEFAULTS,
     build_trainer_and_state,
@@ -20,6 +21,7 @@ TINY_OVERRIDES = (
 )
 
 
+@pytest.mark.slow
 def test_flava_finetune_one_step():
     cfg = apply_dotlist({k: dict(v) for k, v in DEFAULTS.items()}, TINY_OVERRIDES)
     trainer, state = build_trainer_and_state(cfg)

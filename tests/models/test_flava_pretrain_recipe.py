@@ -1,5 +1,6 @@
 """FLAVA pretrain recipe: config plumbing + a real 2-step fit."""
 
+import pytest
 import os
 
 from multimodal_tpu.examples.flava.pretrain import (
@@ -15,6 +16,7 @@ CONFIG = os.path.join(
 )
 
 
+@pytest.mark.slow
 def test_flava_pretrain_recipe_two_steps(tmp_path):
     cfg = build_config(
         CONFIG,

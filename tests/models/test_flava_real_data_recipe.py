@@ -9,6 +9,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from multimodal_tpu.examples.flava.pretrain import (
     DEFAULTS,
@@ -40,6 +41,7 @@ def _write_dataset(tmp_path, n=12):
     return str(path)
 
 
+@pytest.mark.slow
 def test_flava_zero_shot_eval_wiring(tmp_path):
     """build_zero_shot_eval runs the full protocol (classnames x templates
     classifier + top-k over an eval stream) against a tiny image folder."""
@@ -92,6 +94,7 @@ def test_flava_zero_shot_eval_wiring(tmp_path):
     assert metrics["top5"] == 1.0  # only 2 classes -> top5 always right
 
 
+@pytest.mark.slow
 def test_flava_pretrain_on_real_dataset(tmp_path):
     data_path = _write_dataset(tmp_path)
     cfg = build_config(

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from multimodal_tpu.models.masked_auto_encoder.model import (
@@ -115,6 +116,7 @@ def test_swin_shifted_window():
     assert out.last_hidden_state.shape == (2, 32, 16)
 
 
+@pytest.mark.slow
 def test_mae_optimizer_and_schedules():
     sched = cosine_with_warmup(1.0, 10, 110)
     assert float(sched(0)) == 0.0

@@ -35,6 +35,7 @@ def test_wordpiece():
     assert 3 in out[0]     # SEP
 
 
+@pytest.mark.slow
 def test_s3d_and_projection():
     s3d = S3D()
     video = jnp.ones((1, 8, 32, 32, 3))
@@ -48,6 +49,7 @@ def test_s3d_and_projection():
     assert out.shape == (1, 16)
 
 
+@pytest.mark.slow
 def test_videoclip_forward():
     model = videoclip(video_proj_out=16, text_proj_out=16, vocab_size=100)
     video = jnp.ones((2, 8, 32, 32, 3))
@@ -61,6 +63,7 @@ def test_videoclip_forward():
     )
 
 
+@pytest.mark.slow
 def test_text_video_gpt_generation():
     model = text_video_gpt(
         text_seq_len=8, video_seq_len=4, resolution=8,

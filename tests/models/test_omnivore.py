@@ -41,6 +41,7 @@ def test_swin3d_shifted_windows_nondivisible():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_omnivore_head_dispatch():
     model = _omnivore(16, (1, 1), (2, 4))
     video = jnp.ones((2, 4, 16, 16, 3))

@@ -1,5 +1,6 @@
 """Omnivore multi-task recipe: modality round-robin + shape-dispatched heads."""
 
+import pytest
 from multimodal_tpu.examples.omnivore.train import (
     DEFAULTS,
     build_trainer_and_state,
@@ -18,6 +19,7 @@ def test_input_type_inference():
     assert input_type_of(jnp.zeros((2, 1, 8, 8, 4))) == "rgbd"
 
 
+@pytest.mark.slow
 def test_omnivore_multitask_three_steps(tmp_path):
     cfg = apply_dotlist(
         {k: dict(v) for k, v in DEFAULTS.items()},
