@@ -144,6 +144,11 @@ def _install_stubs():
         ("iopath.common", iopath_common),
         ("iopath.common.file_io", iopath_fio),
     ]:
+        # a real ModuleSpec so importlib.util.find_spec (e.g. HF datasets'
+        # torchvision probe) doesn't choke on __spec__ is None
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
     tv.models = tv_models
     tv.ops = tv_ops
