@@ -48,6 +48,24 @@ MAE_MODEL_MAPPING = {
     "vit_b16_audio": "https://download.pytorch.org/models/multimodal/audio_mae/audio_mae_pretrained_vit_base.pth",
 }
 
+# Mirrors the omnivore checkpoint table (models/omnivore.py:19-27).
+OMNIVORE_MODEL_MAPPING = {
+    "swin_t_encoder": "https://download.pytorch.org/models/omnivore_swin_t_encoder-b7e39400.pth",
+    "swin_s_encoder": "https://download.pytorch.org/models/omnivore_swin_s_encoder-40b05ba1.pth",
+    "swin_b_encoder": "https://download.pytorch.org/models/omnivore_swin_b_encoder-a9134768.pth",
+    "swin_t_heads": "https://download.pytorch.org/models/omnivore_swin_t_heads-c8bfb7fd.pth",
+    "swin_s_heads": "https://download.pytorch.org/models/omnivore_swin_s_heads-c5e77246.pth",
+}
+
+# Mirrors the MUGEN pretrained keys (examples/mugen/generation/text_video_gpt.py:27-35).
+MUGEN_MODEL_MAPPING = {
+    "mugen_L32": "https://pytorch.s3.amazonaws.com/models/multimodal/mugen/text_video_gpt_L32_weights-17db9549.pth",
+    "mugen_L16": "https://pytorch.s3.amazonaws.com/models/multimodal/mugen/text_video_gpt_L16_weights-5dfc5a0a.pth",
+    "mugen_L8": "https://pytorch.s3.amazonaws.com/models/multimodal/mugen/text_video_gpt_L8_weights-72b6d2ab.pth",
+    "tokenizer_encoder": "https://pytorch.s3.amazonaws.com/models/multimodal/mugen/tokenizer-coinrun_1024_encoder.json",
+    "tokenizer_merges": "https://pytorch.s3.amazonaws.com/models/multimodal/mugen/tokenizer-coinrun_1024_merges.txt",
+}
+
 
 def load_torch_state_dict(path_or_url: str) -> Mapping[str, Any]:
     """Resolve a path/URL via the cache and load a torch state dict on CPU.
