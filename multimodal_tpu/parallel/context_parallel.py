@@ -115,3 +115,135 @@ def context_parallel_attention(
 
     acc, m, l, _, _ = jax.lax.fori_loop(0, n - 1, body, (acc, m, l, k, v))
     return (acc / l).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Zigzag (load-balanced) causal ring attention.
+#
+# With the contiguous layout above, causal masking makes device r do r+1
+# block-attentions of useful work per pass — the last device does n while the
+# first does 1, so the ring's wall-clock is bound by the most-loaded device.
+# The zigzag layout (each device owns global chunks r and 2n-1-r) balances
+# this exactly: at every ring step each device computes precisely two
+# half-block attentions that are actually visible under the causal mask
+# (plus the slightly larger diagonal step), so useful FLOPs are ~n/2 blocks
+# on EVERY device instead of up to n on the worst one — ~2x better causal
+# ring throughput at scale.
+
+
+def zigzag_split(x: jnp.ndarray, n: int, axis: int = 2) -> jnp.ndarray:
+    """Reorder a gathered sequence axis into the zigzag layout: shard r of
+    the result holds global chunks (r, 2n-1-r). Apply BEFORE sharding."""
+    chunks = jnp.split(x, 2 * n, axis=axis)
+    out = []
+    for r in range(n):
+        out.append(chunks[r])
+        out.append(chunks[2 * n - 1 - r])
+    return jnp.concatenate(out, axis=axis)
+
+
+def zigzag_restore(x: jnp.ndarray, n: int, axis: int = 2) -> jnp.ndarray:
+    """Inverse of ``zigzag_split`` (apply AFTER gathering the output)."""
+    chunks = jnp.split(x, 2 * n, axis=axis)
+    out: list = [None] * (2 * n)
+    for r in range(n):
+        out[r] = chunks[2 * r]
+        out[2 * n - 1 - r] = chunks[2 * r + 1]
+    return jnp.concatenate(out, axis=axis)
+
+
+def _merge(stats, delta):
+    acc, m, l = stats
+    acc_i, m_i, l_i = delta
+    m_new = jnp.maximum(m, m_i)
+    alpha = jnp.exp(m - m_new)
+    beta = jnp.exp(m_i - m_new)
+    return acc * alpha + acc_i * beta, m_new, l * alpha + l_i * beta
+
+
+def _zero_stats(q, d_v, axis_name):
+    b, h, s, _ = q.shape
+    stats = (
+        jnp.zeros((b, h, s, d_v), jnp.float32),
+        jnp.full((b, h, s, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((b, h, s, 1), jnp.float32),
+    )
+    # mark as device-varying so both lax.cond branches type-check under
+    # shard_map (the other branch's stats vary over the cp axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pvary(x, (axis_name,)), stats
+    )
+
+
+def zigzag_context_parallel_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Causal ring attention over zigzag-laid-out shards.
+
+    q, k, v: (b, h, local_seq, d) where the local sequence is
+    [chunk r ; chunk 2n-1-r] of the zigzag-split global sequence
+    (``zigzag_split``). Per ring step the incoming block from source rank s
+    contributes only its visible halves:
+
+      s < r:  q_early·k_early, q_late·k_early      (both fully visible)
+      s > r:  q_late·k_early,  q_late·k_late       (s's chunks straddle r's)
+      s == r: diagonal — within-chunk triangular + q_late·k_early full
+    """
+    scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
+    n = jax.lax.psum(1, axis_name)
+    rank = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    half = q.shape[2] // 2
+    d_v = v.shape[-1]
+    qa, qb = q[:, :, :half], q[:, :, half:]
+
+    tri = jnp.arange(half)[:, None] >= jnp.arange(half)[None, :]
+
+    # diagonal step: own chunks
+    ka, kb = k[:, :, :half], k[:, :, half:]
+    va, vb = v[:, :, :half], v[:, :, half:]
+    a_stats = _block_attn(qa, ka, va, scale, mask=tri)
+    b_stats = _merge(
+        _block_attn(qb, ka, va, scale),
+        _block_attn(qb, kb, vb, scale, mask=tri),
+    )
+
+    def body(i, carry):
+        a_stats, b_stats, k_blk, v_blk = carry
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        src = jnp.mod(rank - i - 1, n)
+        ka, kb = k_blk[:, :, :half], k_blk[:, :, half:]
+        va, vb = v_blk[:, :, :half], v_blk[:, :, half:]
+
+        def earlier(_):
+            # src < rank: both query halves see src's early chunk fully;
+            # src's late chunk (2n-1-src > 2n-1-rank) is in the future
+            return (
+                _block_attn(qa, ka, va, scale),
+                _block_attn(qb, ka, va, scale),
+            )
+
+        def later(_):
+            # src > rank: q_early sees nothing; q_late (chunk 2n-1-rank)
+            # sees both of src's chunks (src < 2n-1-rank and
+            # 2n-1-src < 2n-1-rank)
+            k_cat = jnp.concatenate([ka, kb], axis=2)
+            v_cat = jnp.concatenate([va, vb], axis=2)
+            acc, m, l = _block_attn(qb, k_cat, v_cat, scale)
+            return (_zero_stats(qa, d_v, axis_name), (acc, m, l))
+
+        # both branches do exactly two half-block attentions -> balanced
+        a_delta, b_delta = jax.lax.cond(src < rank, earlier, later, None)
+        return _merge(a_stats, a_delta), _merge(b_stats, b_delta), k_blk, v_blk
+
+    a_stats, b_stats, _, _ = jax.lax.fori_loop(
+        0, n - 1, body, (a_stats, b_stats, k, v)
+    )
+    out_a = (a_stats[0] / a_stats[2]).astype(q.dtype)
+    out_b = (b_stats[0] / b_stats[2]).astype(q.dtype)
+    return jnp.concatenate([out_a, out_b], axis=2)

@@ -9,6 +9,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from multimodal_tpu.parallel.context_parallel import (
     context_parallel_attention,
     gather_kv_attention,
+    zigzag_context_parallel_attention,
+    zigzag_restore,
+    zigzag_split,
 )
 
 from tests.test_utils import assert_expected
@@ -65,6 +68,42 @@ def test_causal_ring_attention_matches_full():
         )
         out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         assert_expected(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_zigzag_split_roundtrip():
+    x = np.arange(32).reshape(1, 1, 32, 1).astype(np.float32)
+    z = np.asarray(zigzag_split(jnp.asarray(x), 8))
+    # shard 0 of 8 holds chunks 0 and 15
+    assert z[0, 0, :2, 0].tolist() == [0, 1]
+    assert z[0, 0, 2:4, 0].tolist() == [30, 31]
+    np.testing.assert_array_equal(
+        np.asarray(zigzag_restore(jnp.asarray(z), 8)), x
+    )
+
+
+def test_zigzag_causal_ring_attention_matches_full():
+    """Load-balanced causal ring (zigzag layout) == full causal attention."""
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devs), ("cp",))
+    rng = np.random.RandomState(3)
+    q = rng.randn(2, 4, 64, 16).astype(np.float32)
+    k = rng.randn(2, 4, 64, 16).astype(np.float32)
+    v = rng.randn(2, 4, 64, 16).astype(np.float32)
+    ref = _full_attention(q, k, v, causal=True)
+
+    sharded = shard_map(
+        lambda q_, k_, v_: zigzag_context_parallel_attention(q_, k_, v_, "cp"),
+        mesh=mesh,
+        in_specs=(P(None, None, "cp"),) * 3,
+        out_specs=P(None, None, "cp"),
+    )
+    out = sharded(
+        zigzag_split(jnp.asarray(q), 8),
+        zigzag_split(jnp.asarray(k), 8),
+        zigzag_split(jnp.asarray(v), 8),
+    )
+    out = zigzag_restore(out, 8)
+    assert_expected(out, ref, rtol=2e-4, atol=2e-5)
 
 
 def test_causal_ring_attention_cp_vs_single_device():
