@@ -243,7 +243,7 @@ def coca_vit_b_32(**kwargs: Any) -> CoCaModel:
         text_output_dim=512, fusion_n_layer=12, fusion_n_head=8,
         fusion_dim_feedforward=2048, multimodal_output_projection_dim=49408,
         pooler_input_embed_dim=768, pooler_output_embed_dim=512,
-        pooler_n_head=8, cascaded_pooler=False, **kwargs,
+        pooler_n_head=8, cascaded_pooler=True, **kwargs,
     )
 
 
@@ -256,7 +256,7 @@ def coca_vit_l_14(**kwargs: Any) -> CoCaModel:
         text_output_dim=768, fusion_n_layer=12, fusion_n_head=12,
         fusion_dim_feedforward=3072, multimodal_output_projection_dim=49408,
         pooler_input_embed_dim=1024, pooler_output_embed_dim=768,
-        pooler_n_head=8, cascaded_pooler=False, **kwargs,
+        pooler_n_head=8, cascaded_pooler=True, **kwargs,
     )
 
 
