@@ -13,8 +13,10 @@ from typing import Callable, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-# Standard CLIP prompt-ensemble subset (the reference ships the full
-# 80-template list; these 7 are openai's recommended compact ensemble).
+# Compact 7-template ensemble (openai's recommended subset) used as the
+# default for cheap in-training eval; the full 80-template x 1,000-classname
+# ImageNet protocol lives in ``multimodal_tpu/data/imagenet_zeroshot.py``
+# (shipped as a JSON asset) and is what ``imagenet_zero_shot_eval`` runs.
 DEFAULT_PROMPT_TEMPLATES = (
     "itap of a {}.",
     "a bad photo of the {}.",
