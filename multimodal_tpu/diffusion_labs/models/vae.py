@@ -86,7 +86,10 @@ class VAEEncoder(nn.Module):
             for bi in range(self.n_res):
                 h = VAEResBlock(ch, name=f"down_{li}_{bi}", **common)(h)
             if li < len(self.channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+                # LDM downsample: asymmetric zero-pad (0,1,0,1) then a
+                # stride-2 VALID conv (reference residual_sampling.py:35-68)
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
                             name=f"downsample_{li}", **common)(h)
         h = VAEResBlock(self.channels[-1], name="mid_res1", **common)(h)
         h = VAEAttention(name="mid_attn", **common)(h)
@@ -127,19 +130,37 @@ class VAEDecoder(nn.Module):
 
 
 class VariationalAutoencoder(nn.Module):
-    """Encoder -> diagonal-Gaussian posterior -> decoder (reference vae.py:24)."""
+    """Encoder -> diagonal-Gaussian posterior -> decoder (reference vae.py:24).
+
+    When ``embedding_channels`` is set, a 1x1 ``quant_conv`` maps the encoder
+    moments to the embedding space and ``post_quant_conv`` maps back before
+    decoding — matching the reference's LDM builder (vae.py:91-116)."""
 
     encoder: nn.Module
     decoder: nn.Module
     latent_channels: int = 4
+    embedding_channels: Optional[int] = None
     rng_collection: str = "vae"
+
+    def setup(self):
+        if self.embedding_channels is not None:
+            self.quant_conv = nn.Conv(
+                2 * self.embedding_channels, (1, 1), name="quant_conv"
+            )
+            self.post_quant_conv = nn.Conv(
+                self.latent_channels, (1, 1), name="post_quant_conv"
+            )
 
     def encode(self, x: jnp.ndarray) -> GaussianPosterior:
         moments = self.encoder(x)
+        if self.embedding_channels is not None:
+            moments = self.quant_conv(moments)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return GaussianPosterior(mean, logvar)
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self.embedding_channels is not None:
+            z = self.post_quant_conv(z)
         return self.decoder(z)
 
     def __call__(
@@ -168,4 +189,29 @@ def variational_autoencoder(
         encoder=VAEEncoder(channels, n_res, latent_channels, dtype, param_dtype),
         decoder=VAEDecoder(tuple(reversed(channels)), n_res, out_channels, dtype, param_dtype),
         latent_channels=latent_channels,
+    )
+
+
+def ldm_variational_autoencoder(
+    *,
+    embedding_channels: int,
+    out_channels: int = 3,
+    z_channels: int = 4,
+    channels: int = 128,
+    num_res_blocks: int = 2,
+    channel_multipliers: Sequence[int] = (1, 2, 4, 8),
+    dtype: Any = jnp.float32,
+    param_dtype: Any = jnp.float32,
+) -> VariationalAutoencoder:
+    """LDM autoencoder with the reference's config surface (vae.py:76-142):
+    encoder channels = channels * multipliers, quant/post-quant 1x1 convs,
+    and the decoder running ``num_res_blocks + 1`` blocks per level."""
+    enc_channels = tuple(channels * m for m in channel_multipliers)
+    return VariationalAutoencoder(
+        encoder=VAEEncoder(enc_channels, num_res_blocks, z_channels,
+                           dtype, param_dtype),
+        decoder=VAEDecoder(tuple(reversed(enc_channels)), num_res_blocks + 1,
+                           out_channels, dtype, param_dtype),
+        latent_channels=z_channels,
+        embedding_channels=embedding_channels,
     )

@@ -885,3 +885,91 @@ def adm_unet_params_from_torch(torch_model) -> Dict[str, Any]:
     params["norm_out"] = _groupnorm(sd, f"up.{ui}._module_list.0.0")
     params["conv_out"] = _conv2d_nchw(sd, f"up.{ui}._module_list.0.2")
     return {"params": params}
+
+
+def _dense_from_conv1x1(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    # torch 1x1 Conv2d (out, in, 1, 1) -> flax Dense kernel (in, out)
+    out = {"kernel": _t2j(sd[f"{prefix}.weight"])[:, :, 0, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t2j(sd[f"{prefix}.bias"])
+    return out
+
+
+def _vae_res_block(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Reference LDM-VAE ResBlock (vae/res_block.py:14, built by
+    encoder_decoder.py:291 with scale_shift_conditional=False)."""
+    out = {
+        "norm1": _groupnorm(sd, f"{prefix}.in_block.0"),
+        "conv1": _conv2d_nchw(sd, f"{prefix}.in_block.3"),
+        "norm2": _groupnorm(sd, f"{prefix}.out_group_norm"),
+        "conv2": _conv2d_nchw(sd, f"{prefix}.out_block.2"),
+    }
+    if f"{prefix}.skip_block.1.weight" in sd:
+        out["skip"] = _conv2d_nchw(sd, f"{prefix}.skip_block.1")
+    return out
+
+
+def _vae_attn_block(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Reference AttentionResBlock(VanillaAttention) (vae/attention.py:15,66):
+    1x1-conv q/k/v/out projections -> Dense kernels."""
+    return {
+        "norm": _groupnorm(sd, f"{prefix}.net.norm"),
+        "q": _dense_from_conv1x1(sd, f"{prefix}.net.attn.query"),
+        "k": _dense_from_conv1x1(sd, f"{prefix}.net.attn.key"),
+        "v": _dense_from_conv1x1(sd, f"{prefix}.net.attn.value"),
+        "proj": _dense_from_conv1x1(sd, f"{prefix}.net.out"),
+    }
+
+
+def vae_params_from_torch(
+    torch_model,
+    num_res_blocks: int,
+    channel_multipliers,
+) -> Dict[str, Any]:
+    """Convert a reference ``ldm_variational_autoencoder`` (vae/vae.py:76)
+    to params for :func:`ldm_variational_autoencoder`."""
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    n_levels = len(channel_multipliers)
+
+    enc: Dict[str, Any] = {"conv_in": _conv2d_nchw(sd, "encoder.resnet_encoder.init_conv")}
+    for li in range(n_levels):
+        base = f"encoder.resnet_encoder.down_block.{li}"
+        for bi in range(num_res_blocks):
+            enc[f"down_{li}_{bi}"] = _vae_res_block(sd, f"{base}.{bi}")
+        if li < n_levels - 1:
+            enc[f"downsample_{li}"] = _conv2d_nchw(sd, f"{base}.{num_res_blocks}.op.1")
+    enc["mid_res1"] = _vae_res_block(sd, "encoder.resnet_encoder.mid_block.0")
+    enc["mid_attn"] = _vae_attn_block(sd, "encoder.resnet_encoder.mid_block.1")
+    enc["mid_res2"] = _vae_res_block(sd, "encoder.resnet_encoder.mid_block.2")
+    enc["norm_out"] = _groupnorm(sd, "encoder.resnet_encoder.out_block.0")
+    enc["conv_out"] = _conv2d_nchw(sd, "encoder.resnet_encoder.out_block.2")
+
+    dec: Dict[str, Any] = {"conv_in": _conv2d_nchw(sd, "decoder.resnet_decoder.init_conv")}
+    dec["mid_res1"] = _vae_res_block(sd, "decoder.resnet_decoder.mid_block.0")
+    dec["mid_attn"] = _vae_attn_block(sd, "decoder.resnet_decoder.mid_block.1")
+    dec["mid_res2"] = _vae_res_block(sd, "decoder.resnet_decoder.mid_block.2")
+    for li in range(n_levels):
+        base = f"decoder.resnet_decoder.up_block.{li}"
+        # decoder levels carry num_res_blocks + 1 blocks (encoder_decoder.py:216)
+        for bi in range(num_res_blocks + 1):
+            dec[f"up_{li}_{bi}"] = _vae_res_block(sd, f"{base}.{bi}")
+        if li < n_levels - 1:
+            dec[f"upsample_{li}"] = _conv2d_nchw(
+                sd, f"{base}.{num_res_blocks + 1}.conv"
+            )
+    dec["norm_out"] = _groupnorm(sd, "decoder.resnet_decoder.out_nonlinearity_block.0")
+    dec["conv_out"] = _conv2d_nchw(sd, "decoder.resnet_decoder.conv_out")
+
+    params = {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": {
+            "kernel": _t2j(sd["encoder.quant_conv.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t2j(sd["encoder.quant_conv.bias"]),
+        },
+        "post_quant_conv": {
+            "kernel": _t2j(sd["decoder.post_quant_conv.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t2j(sd["decoder.post_quant_conv.bias"]),
+        },
+    }
+    return {"params": params}
