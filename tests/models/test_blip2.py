@@ -73,6 +73,7 @@ def test_blip2_forward(blip2_setup):
                     np.ones((2, 4)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_blip2_frozen_vision(blip2_setup):
     model, variables, image, ids, mask = blip2_setup
 

@@ -109,6 +109,7 @@ def test_flava_pretraining_mm_losses(mm_inputs):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_flava_pretraining_unimodal_losses(mm_inputs):
     image, text = mm_inputs
     model = flava_model_for_pretraining(codebook_image_size=32, **SMALL)
@@ -141,6 +142,7 @@ def test_flava_classification(mm_inputs):
     assert np.isfinite(float(out.loss))
 
 
+@pytest.mark.slow
 def test_remat_gradients_match():
     """remat=True (activation checkpointing, the reference's
     apply_activation_checkpointing at native/train.py:148-165) must give

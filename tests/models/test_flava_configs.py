@@ -22,7 +22,10 @@ def _param_count(config):
 
 @pytest.mark.parametrize(
     "name,lo,hi",
-    [("900m", 0.75e9, 1.1e9), ("10b", 9e9, 11.5e9)],
+    [
+        ("900m", 0.75e9, 1.1e9),
+        pytest.param("10b", 9e9, 11.5e9, marks=pytest.mark.slow),
+    ],
 )
 def test_flava_scaling_param_counts(name, lo, hi):
     n = _param_count(FLAVA_CONFIGS[name])

@@ -84,6 +84,7 @@ def test_patchify_roundtrip():
     assert_expected(patched[0, 0, :24].reshape(8, 3), np.asarray(x[0, 0, :8, :]))
 
 
+@pytest.mark.slow
 def test_audio_mae_swin_decoder():
     model = audio_mae(
         input_size=(64, 32), patch_size=8, masking_ratio=0.5,

@@ -71,6 +71,7 @@ def test_frozen_bn_no_grads():
     assert sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g)) == 0.0
 
 
+@pytest.mark.slow
 def test_resnet_backbone_shape():
     net = ResNetBackbone(layers=(1, 1, 1, 1))
     x = jnp.ones((1, 64, 64, 3))
@@ -103,6 +104,7 @@ def test_mdetr_forward(mdetr_inputs):
     assert out.transformer_output.decoder_hidden_states.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_mdetr_phrase_grounding_and_loss(mdetr_inputs):
     model = mdetr_for_phrase_grounding(contrastive_dim=16, **TINY)
     params = model.init(rng(0), *mdetr_inputs)
@@ -137,6 +139,7 @@ def test_mdetr_phrase_grounding_and_loss(mdetr_inputs):
     assert np.isfinite(float(losses.total()))
 
 
+@pytest.mark.slow
 def test_mdetr_vqa_heads(mdetr_inputs):
     model = mdetr_for_vqa(num_extra_query_embeddings=6, **TINY)
     params = model.init(rng(0), *mdetr_inputs)
