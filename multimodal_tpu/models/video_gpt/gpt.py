@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple, Optional, Tuple, Union
 
+import math
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -351,7 +352,7 @@ class MultimodalGPT(nn.Module):
         _ = self.encode(video_in, "in")
         _ = self.encode(video_out, "out")
         latent_tokens = jnp.zeros(
-            (video_out.shape[0], int(jnp.prod(jnp.asarray(self.latent_shape)))),
+            (video_out.shape[0], math.prod(self.latent_shape)),
             jnp.int32,
         )
         _ = self.decode(latent_tokens)
@@ -408,7 +409,7 @@ class MultimodalGPT(nn.Module):
             raise ValueError(
                 f"Shape of token ids should be (batch, seq_len) but got {token_ids.shape}"
             )
-        latent_seq_len = int(jnp.prod(jnp.asarray(self.latent_shape)))
+        latent_seq_len = math.prod(self.latent_shape)
         if token_ids.shape[1] != latent_seq_len:
             raise ValueError(
                 f"Sequence to decode does not match that inferred from the tokenizer: {latent_seq_len}"
