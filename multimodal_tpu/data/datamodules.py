@@ -19,8 +19,19 @@ from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 import numpy as np
 
 
-def _to_image(x) -> "np.ndarray | Any":
-    """Resolve a sample's image field: path -> PIL, keep PIL/ndarray as-is."""
+def _to_image(x, jpeg_staging=None) -> "np.ndarray | Any":
+    """Resolve a sample's image field: path/bytes -> image, keep PIL/ndarray.
+
+    With ``jpeg_staging=(H, W)``, JPEG paths and raw JPEG bytes decode
+    through the native libjpeg kernel (``native/jpeg_decoder.cpp``:
+    DCT-domain scaling + area resize) straight to a (H, W, 3) uint8 staging
+    array for the on-device fused resize/normalize/patchify pipeline."""
+    is_jpeg_path = isinstance(x, str) and x.lower().endswith((".jpg", ".jpeg"))
+    if jpeg_staging is not None and (isinstance(x, bytes) or is_jpeg_path):
+        from multimodal_tpu.native.jpeg import decode_jpeg_batch
+
+        blob = x if isinstance(x, bytes) else open(x, "rb").read()
+        return decode_jpeg_batch([blob], *jpeg_staging)[0]
     if isinstance(x, str):
         if x.endswith(".npy"):
             return np.load(x)
@@ -167,15 +178,17 @@ class ImageDataModule(DataModule):
         image_transform: Optional[Callable] = None,
         image_key: str = "image",
         label_key: str = "label",
+        jpeg_staging=None,
         **kwargs,
     ):
         super().__init__(dataset, **kwargs)
         self.image_transform = image_transform
         self.image_key = image_key
         self.label_key = label_key
+        self.jpeg_staging = jpeg_staging
 
     def process(self, sample, rng):
-        img = _to_image(sample[self.image_key])
+        img = _to_image(sample[self.image_key], self.jpeg_staging)
         if self.image_transform is not None:
             img = self.image_transform(img)
         out = img if isinstance(img, dict) else {"image": np.asarray(img)}
@@ -238,6 +251,7 @@ class VLDataModule(DataModule):
         itm_probability: float = 0.1,
         image_key: str = "image",
         text_key: str = "text",
+        jpeg_staging=None,
         **kwargs,
     ):
         super().__init__(dataset, **kwargs)
@@ -247,6 +261,7 @@ class VLDataModule(DataModule):
         self.itm_probability = itm_probability
         self.image_key = image_key
         self.text_key = text_key
+        self.jpeg_staging = jpeg_staging
 
     def process(self, sample, rng):
         text = sample[self.text_key]
@@ -255,7 +270,7 @@ class VLDataModule(DataModule):
             j = rng.randint(len(self.dataset))
             text = self.dataset[int(j)][self.text_key]
             itm_label = 0
-        img = self.image_transform(_to_image(sample[self.image_key]))
+        img = self.image_transform(_to_image(sample[self.image_key], self.jpeg_staging))
         out = dict(img) if isinstance(img, dict) else {"image": np.asarray(img)}
         ids = np.asarray(self.text_transform([text]))[0]
         out["text"] = ids.astype(np.int32)

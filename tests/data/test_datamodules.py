@@ -203,3 +203,40 @@ def test_device_prefetch():
 
     # short iterators (fewer batches than depth) still drain fully
     assert len(list(device_prefetch(iter(batches[:1]), depth=4))) == 1
+
+
+def test_image_datamodule_native_jpeg_staging(tmp_path):
+    """jpeg_staging: JPEG paths decode through the native libjpeg kernel to
+    fixed uint8 staging arrays ready for the on-device fused pipeline."""
+    import io
+
+    from PIL import Image
+
+    from multimodal_tpu.data.datamodules import ImageDataModule
+
+    rng_np = np.random.RandomState(0)
+    paths = []
+    for i, (h, w) in enumerate([(300, 400), (640, 480)]):
+        arr = (rng_np.rand(h, w, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(arr).save(p, format="JPEG", quality=92)
+        paths.append(str(p))
+    ds = [{"image": p, "label": i} for i, p in enumerate(paths)]
+
+    dm = ImageDataModule(
+        ds, jpeg_staging=(256, 256), batch_size=2, shuffle=False, prefetch=0
+    )
+    batch = next(iter(dm.eval_batches()))
+    assert batch["image"].shape == (2, 256, 256, 3)
+    assert batch["image"].dtype == np.uint8
+    # raw JPEG bytes work too
+    buf = io.BytesIO()
+    Image.fromarray((rng_np.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+        buf, format="JPEG"
+    )
+    dm2 = ImageDataModule(
+        [{"image": buf.getvalue(), "label": 0}],
+        jpeg_staging=(128, 128), batch_size=1, shuffle=False, prefetch=0,
+    )
+    b2 = next(iter(dm2.eval_batches()))
+    assert b2["image"].shape == (1, 128, 128, 3)
