@@ -973,3 +973,57 @@ def vae_params_from_torch(
         },
     }
     return {"params": params}
+
+
+def _mlp_generic(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Reference MLP (mlp.py:13): nn.Sequential ``model`` whose Linear
+    member indices depend on dropout/normalization — map the Linears in
+    order to hidden_{i}.. / out."""
+    import re as _re
+
+    idxs = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := _re.fullmatch(rf"{_re.escape(prefix)}\.model\.(\d+)\.weight", k))
+    )
+    out: Dict[str, Any] = {}
+    for j, idx in enumerate(idxs):
+        name = "out" if j == len(idxs) - 1 else f"hidden_{j}"
+        out[name] = _linear(sd, f"{prefix}.model.{idx}")
+    return out
+
+
+def _ndim_mha(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Reference n-dim MultiHeadAttention (attention.py:70): separate
+    query/key/value/output Linears -> q/k/v/output_proj."""
+    return {
+        "q_proj": _linear(sd, f"{prefix}.query"),
+        "k_proj": _linear(sd, f"{prefix}.key"),
+        "v_proj": _linear(sd, f"{prefix}.value"),
+        "output_proj": _linear(sd, f"{prefix}.output"),
+    }
+
+
+def albef_multimodal_encoder_params_from_torch(
+    torch_model, n_layers: int
+) -> Dict[str, Any]:
+    """Convert a reference ``ALBEFMultimodalEncoder``
+    (models/albef/multimodal_encoder.py:184) to ALBEFMultimodalEncoder
+    params."""
+    sd = {k: v for k, v in torch_model.state_dict().items()}
+    params: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": _ndim_mha(sd, f"{p}.attention"),
+            "cross_attention": _ndim_mha(sd, f"{p}.cross_attention"),
+            "feedforward": _mlp_generic(sd, f"{p}.feedforward"),
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.attention_layernorm"),
+            "cross_attention_layernorm": _fp32_layernorm(
+                sd, f"{p}.cross_attention_layernorm"
+            ),
+            "feedforward_layernorm": _fp32_layernorm(
+                sd, f"{p}.feedforward_layernorm"
+            ),
+        }
+    return {"params": params}
