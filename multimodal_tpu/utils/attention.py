@@ -18,15 +18,20 @@ def get_extended_attention_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
     """Broadcast a padding mask to attention-bias shape.
 
     Args:
-        attention_mask: ``(batch, seq)`` or ``(batch, q, k)``; 1 = attend.
+        attention_mask: ``(batch, seq)``, ``(batch, q, k)``, or an already
+            head-broadcast ``(batch, heads, q, k)`` (reference :30-34);
+            1 = attend.
     Returns:
-        float bias of shape ``(batch, 1, 1, seq)`` or ``(batch, 1, q, k)``
-        with 0 where attended and a large negative value where masked.
+        float bias of shape ``(batch, 1, 1, seq)``, ``(batch, 1, q, k)``, or
+        ``(batch, heads, q, k)`` with 0 where attended and a large negative
+        value where masked.
     """
     if attention_mask.ndim == 2:
         ext = attention_mask[:, None, None, :]
     elif attention_mask.ndim == 3:
         ext = attention_mask[:, None, :, :]
+    elif attention_mask.ndim == 4:
+        ext = attention_mask
     else:
         raise ValueError(f"bad attention mask ndim {attention_mask.ndim}")
     return (1.0 - ext.astype(jnp.float32)) * NEG_INF
