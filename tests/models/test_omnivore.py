@@ -68,3 +68,28 @@ def test_patch_embed_omnivore_depth_path():
     assert out_rgb.shape == out_rgbd.shape == (1, 2, 4, 4, 8)
     # depth contributes
     assert float(jnp.abs(out_rgbd - out_rgb).sum()) > 0
+
+
+@pytest.mark.slow
+def test_omnivore_swin_param_counts():
+    """Full-scale sanity: Swin3D-T/S trunk sizes must land at the published
+    torchvision swin3d_t/s parameter counts (~28.2M / ~49.8M) plus the three
+    task heads (reference omnivore.py:203-260 builder configs)."""
+    import jax
+
+    from multimodal_tpu.models.omnivore import omnivore_swin_s, omnivore_swin_t
+
+    def count(model):
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 2, 224, 224, 3)), "image"
+            )
+        )
+        return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes))
+
+    n_t = count(omnivore_swin_t())
+    n_s = count(omnivore_swin_s())
+    # trunk ~28.2M/49.8M + heads (1000+400+19 classes on 768/1024-d features)
+    assert 28e6 < n_t < 32e6, f"swin_t {n_t / 1e6:.1f}M"
+    assert 49e6 < n_s < 54e6, f"swin_s {n_s / 1e6:.1f}M"
+    assert n_s > n_t
