@@ -36,7 +36,8 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC, "-ljpeg"],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC,
+                 "-ljpeg", "-lpthread"],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_LIB)
@@ -49,6 +50,10 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.mmtpu_decode_jpeg_batch_mt.restype = ctypes.c_int
+        lib.mmtpu_decode_jpeg_batch_mt.argtypes = (
+            lib.mmtpu_decode_jpeg_batch.argtypes + [ctypes.c_int]
+        )
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
         _lib = None
@@ -67,10 +72,16 @@ def _decode_pil(blobs: List[bytes], height: int, width: int) -> np.ndarray:
 
 
 def decode_jpeg_batch(
-    blobs: List[bytes], height: int = 256, width: int = 256
+    blobs: List[bytes],
+    height: int = 256,
+    width: int = 256,
+    n_threads: int = 0,
 ) -> np.ndarray:
     """Decode a list of JPEG byte strings to a (N, height, width, 3) uint8
-    staging batch (aspect squashed; crop policy happens on device)."""
+    staging batch (aspect squashed; crop policy happens on device).
+
+    ``n_threads=0`` uses every core (images decode independently — on a real
+    TPU-VM host this parallelizes linearly); 1 forces single-threaded."""
     lib = _ensure_lib()
     if lib is None:
         return _decode_pil(blobs, height, width)
@@ -78,13 +89,16 @@ def decode_jpeg_batch(
     out = np.empty((n, height, width, 3), np.uint8)
     blob_ptrs = (ctypes.c_char_p * n)(*blobs)
     sizes = (ctypes.c_long * n)(*[len(b) for b in blobs])
-    rc = lib.mmtpu_decode_jpeg_batch(
+    if n_threads == 0:
+        n_threads = os.cpu_count() or 1
+    rc = lib.mmtpu_decode_jpeg_batch_mt(
         ctypes.cast(blob_ptrs, ctypes.POINTER(ctypes.c_char_p)),
         ctypes.cast(sizes, ctypes.POINTER(ctypes.c_long)),
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         height,
         width,
+        n_threads,
     )
     if rc != 0:
         return _decode_pil(blobs, height, width)

@@ -23,9 +23,11 @@
 
 #include <jpeglib.h>
 
+#include <atomic>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -158,4 +160,33 @@ extern "C" int mmtpu_decode_jpeg_batch(const uint8_t* const* blobs,
     if (rc != 0) return rc;
   }
   return 0;
+}
+
+// Multi-threaded batch decode: images are independent, so on a real TPU-VM
+// host (many cores feeding one chip) decode parallelizes linearly.
+extern "C" int mmtpu_decode_jpeg_batch_mt(const uint8_t* const* blobs,
+                                          const long* sizes, int n,
+                                          uint8_t* out, int out_h, int out_w,
+                                          int n_threads) {
+  if (n_threads <= 1 || n <= 1) {
+    return mmtpu_decode_jpeg_batch(blobs, sizes, n, out, out_h, out_w);
+  }
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || err.load() != 0) return;
+      int rc = mmtpu_decode_jpeg(blobs[i], sizes[i], out + i * stride, out_h,
+                                 out_w);
+      if (rc != 0) err.store(rc);
+    }
+  };
+  std::vector<std::thread> threads;
+  int k = n_threads < n ? n_threads : n;
+  threads.reserve(k);
+  for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return err.load();
 }

@@ -82,3 +82,12 @@ def test_decode_throughput_report():
         f"\nnative decode: {len(blobs) / t_native:.0f} img/s, "
         f"PIL: {len(blobs) / t_pil:.0f} img/s ({t_pil / t_native:.1f}x)"
     )
+
+
+def test_decode_multithreaded_matches_single():
+    if not native_jpeg_available():
+        pytest.skip("native lib unavailable")
+    blobs = _make_jpegs(8, [(480, 640), (256, 256)], seed=5)
+    single = decode_jpeg_batch(blobs, 224, 224, n_threads=1)
+    multi = decode_jpeg_batch(blobs, 224, 224, n_threads=4)
+    np.testing.assert_array_equal(single, multi)
