@@ -23,6 +23,9 @@ class CFGuidance(nn.Module):
     p: Union[float, Dict[str, float]] = 0.1
     guidance: float = 0.0
     learn_null_emb: bool = True
+    # fixed per-key overrides used in place of the learned null embedding at
+    # eval time (reference ``eval_unconditional_embeddings``, cfguidance.py:67)
+    eval_unconditional_embeddings: Optional[Dict[str, jnp.ndarray]] = None
     rng_collection: str = "cfguidance"
 
     def _probs(self) -> Dict[str, float]:
@@ -56,6 +59,11 @@ class CFGuidance(nn.Module):
         others = {k: v for k, v in conditional_inputs.items() if k not in self.dim_cond}
         b = x.shape[0]
         nulls = self._null_embeddings()
+        if deterministic and self.eval_unconditional_embeddings is not None:
+            nulls = {
+                k: jnp.asarray(self.eval_unconditional_embeddings.get(k, v))
+                for k, v in nulls.items()
+            }
         probs = self._probs()
 
         if not deterministic:
