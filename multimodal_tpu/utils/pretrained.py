@@ -110,3 +110,33 @@ def resolve_checkpoint(pretrained: Any, mapping: Mapping[str, str], default_key:
     if isinstance(pretrained, str):
         return pretrained
     raise ValueError(f"unsupported pretrained={pretrained!r}")
+
+
+# Mirrors FLAVA's frozen dVAE codebook source (models/flava/model.py:726-733:
+# torch.hub.load_state_dict_from_url on OpenAI's encoder.pkl).
+DALLE_MODEL_MAPPING = {
+    "dvae_encoder": "https://cdn.openai.com/dall-e/encoder.pkl",
+}
+
+
+def load_dalle_encoder_params(pretrained: Any = True, **converter_kwargs: Any) -> Dict[str, Any]:
+    """Load the DALL-E dVAE encoder weights and convert to Flax params for
+    :class:`~multimodal_tpu.models.flava.dalle_vae.DalleVAEEncoder`.
+
+    Accepts ``True`` (OpenAI URL through the cache), a mapping key, a local
+    path to ``encoder.pkl``, or a path to a plain ``.pt`` state dict. The
+    OpenAI pickle stores a full module object; loading it needs no DALL-E
+    package — we only read its ``state_dict()``."""
+    import torch
+
+    from multimodal_tpu.utils.checkpoint import dalle_encoder_params_from_torch
+
+    ckpt = resolve_checkpoint(pretrained, DALLE_MODEL_MAPPING, "dvae_encoder")
+    local = _PATH_MANAGER.get_local_path(ckpt)
+    try:
+        obj = torch.load(local, map_location="cpu", weights_only=True)
+    except Exception:
+        # encoder.pkl is a pickled module, not a raw state dict
+        obj = torch.load(local, map_location="cpu", weights_only=False)
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    return dalle_encoder_params_from_torch(sd, **converter_kwargs)
