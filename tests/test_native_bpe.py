@@ -50,13 +50,26 @@ def test_native_speedup(tokenizers):
     words = ["".join(chr(rng.randint(97, 123)) for _ in range(12)) for _ in range(2000)]
     text = " ".join(words)
 
-    t0 = time.perf_counter()
-    native.encode(text)
-    t_native = time.perf_counter() - t0
+    def fresh_text():
+        words = [
+            "".join(chr(rng.randint(97, 123)) for _ in range(12))
+            for _ in range(2000)
+        ]
+        return " ".join(words)
 
-    t0 = time.perf_counter()
-    python.encode(text)
-    t_python = time.perf_counter() - t0
+    def best_of(fn, n=3):
+        # best-of-n on fresh (uncached) words: single-shot timing flakes
+        # under box load
+        times = []
+        for _ in range(n):
+            t = fresh_text()
+            t0 = time.perf_counter()
+            fn(t)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = best_of(native.encode)
+    t_python = best_of(python.encode)
 
     assert t_native < t_python, (t_native, t_python)
     print(f"native {t_native*1e3:.1f}ms vs python {t_python*1e3:.1f}ms "
