@@ -1027,3 +1027,52 @@ def albef_multimodal_encoder_params_from_torch(
             ),
         }
     return {"params": params}
+
+
+def distilbert_params_from_torch(sd: Mapping, n_layers: int = 6) -> Dict[str, Any]:
+    """HuggingFace ``DistilBertModel`` state dict -> variables for
+    :func:`~multimodal_tpu.modules.encoders.bert_text_encoder.bert_text_encoder`
+    (the MUGEN VideoCLIP text tower, reference
+    examples/mugen/retrieval/video_clip.py:43 wraps DistilBertModel).
+
+    DistilBERT is a post-norm BERT without token-type embeddings; the
+    token-type table is zero-filled so ``token_type_ids=None`` adds nothing.
+    """
+    hidden = _t2j(sd["embeddings.word_embeddings.weight"]).shape[1]
+    emb = {
+        "word_embeddings": _embedding(sd, "embeddings.word_embeddings"),
+        "position_embeddings": _embedding(sd, "embeddings.position_embeddings"),
+        "token_type_embeddings": {"embedding": np.zeros((2, hidden), np.float32)},
+        "layer_norm": _fp32_layernorm(sd, "embeddings.LayerNorm"),
+    }
+    enc: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"transformer.layer.{i}"
+        kernel = np.concatenate(
+            [
+                _t2j(sd[f"{p}.attention.q_lin.weight"]).T,
+                _t2j(sd[f"{p}.attention.k_lin.weight"]).T,
+                _t2j(sd[f"{p}.attention.v_lin.weight"]).T,
+            ],
+            axis=1,
+        )
+        bias = np.concatenate(
+            [
+                _t2j(sd[f"{p}.attention.q_lin.bias"]),
+                _t2j(sd[f"{p}.attention.k_lin.bias"]),
+                _t2j(sd[f"{p}.attention.v_lin.bias"]),
+            ]
+        )
+        enc[f"layer_{i}"] = {
+            "attention": {
+                "input_proj": {"kernel": kernel, "bias": bias},
+                "output_proj": _linear(sd, f"{p}.attention.out_lin"),
+            },
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.ffn.lin1"),
+                "out": _linear(sd, f"{p}.ffn.lin2"),
+            },
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.sa_layer_norm"),
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.output_layer_norm"),
+        }
+    return {"params": {"embeddings": emb, "encoder": enc}}
