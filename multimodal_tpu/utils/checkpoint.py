@@ -1076,3 +1076,38 @@ def distilbert_params_from_torch(sd: Mapping, n_layers: int = 6) -> Dict[str, An
             "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.output_layer_norm"),
         }
     return {"params": {"embeddings": emb, "encoder": enc}}
+
+
+def hf_bert_params_from_torch(
+    sd: Mapping, n_layers: int = 12, include_pooler: bool = False
+) -> Dict[str, Any]:
+    """HuggingFace ``BertModel`` state dict -> variables for
+    :func:`~multimodal_tpu.modules.encoders.bert_text_encoder.bert_text_encoder`
+    — loads real bert-base-uncased checkpoints into the BERT text tower
+    (reference analog: BERTTextEncoder docstring points at HF BERT,
+    modules/encoders/bert_text_encoder.py:17)."""
+    emb = {
+        "word_embeddings": _embedding(sd, "embeddings.word_embeddings"),
+        "position_embeddings": _embedding(sd, "embeddings.position_embeddings"),
+        "token_type_embeddings": _embedding(sd, "embeddings.token_type_embeddings"),
+        "layer_norm": _fp32_layernorm(sd, "embeddings.LayerNorm"),
+    }
+    enc: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        enc[f"layer_{i}"] = {
+            "attention": {
+                "input_proj": _fused_qkv(sd, f"{p}.attention.self"),
+                "output_proj": _linear(sd, f"{p}.attention.output.dense"),
+            },
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.intermediate.dense"),
+                "out": _linear(sd, f"{p}.output.dense"),
+            },
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.attention.output.LayerNorm"),
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.output.LayerNorm"),
+        }
+    params = {"embeddings": emb, "encoder": enc}
+    if include_pooler and "pooler.dense.weight" in sd:
+        params["pooler"] = {"dense": _linear(sd, "pooler.dense")}
+    return {"params": params}
