@@ -53,18 +53,28 @@ def _load_clip_vit_pretrained(
     model: CLIP, pretrained: Union[bool, str], map_key: str,
     n_vision_layers: int, n_text_layers: int,
 ) -> Tuple[CLIP, Any]:
-    from multimodal_tpu.utils.checkpoint import clip_params_from_torch
+    from multimodal_tpu.utils.checkpoint import (
+        clip_params_from_torch,
+        hf_clip_params_from_torch,
+    )
     from multimodal_tpu.utils.pretrained import (
         CLIP_MODEL_MAPPING,
-        load_pretrained_params,
+        load_torch_state_dict,
         resolve_checkpoint,
     )
 
     ckpt = resolve_checkpoint(pretrained, CLIP_MODEL_MAPPING, map_key)
-    params = load_pretrained_params(
-        ckpt, clip_params_from_torch,
-        n_vision_layers=n_vision_layers, n_text_layers=n_text_layers,
-    )
+    sd = load_torch_state_dict(ckpt)
+    # auto-detect checkpoint flavor: HuggingFace CLIPModel exports
+    # (openai/clip-vit-* on the Hub) vs the reference's torchmultimodal naming
+    if any(k.startswith("vision_model.") for k in sd):
+        params = hf_clip_params_from_torch(
+            sd, n_vision_layers=n_vision_layers, n_text_layers=n_text_layers
+        )
+    else:
+        params = clip_params_from_torch(
+            sd, n_vision_layers=n_vision_layers, n_text_layers=n_text_layers
+        )
     return model, params
 
 

@@ -1111,3 +1111,65 @@ def hf_bert_params_from_torch(
     if include_pooler and "pooler.dense.weight" in sd:
         params["pooler"] = {"dense": _linear(sd, "pooler.dense")}
     return {"params": params}
+
+
+def _hf_clip_layers(sd: Mapping, prefix: str, n_layers: int) -> Dict[str, Any]:
+    """HuggingFace CLIPEncoderLayer stack -> the framework's CLIP encoder
+    naming (separate q/k/v linears fused into in_proj)."""
+    out: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        kernel = np.concatenate(
+            [
+                _t2j(sd[f"{p}.self_attn.q_proj.weight"]).T,
+                _t2j(sd[f"{p}.self_attn.k_proj.weight"]).T,
+                _t2j(sd[f"{p}.self_attn.v_proj.weight"]).T,
+            ],
+            axis=1,
+        )
+        bias = np.concatenate(
+            [
+                _t2j(sd[f"{p}.self_attn.q_proj.bias"]),
+                _t2j(sd[f"{p}.self_attn.k_proj.bias"]),
+                _t2j(sd[f"{p}.self_attn.v_proj.bias"]),
+            ]
+        )
+        out[f"layer_{i}"] = {
+            "in_proj": {"kernel": kernel, "bias": bias},
+            "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+            "linear1": _linear(sd, f"{p}.mlp.fc1"),
+            "linear2": _linear(sd, f"{p}.mlp.fc2"),
+            "norm1": _layernorm(sd, f"{p}.layer_norm1"),
+            "norm2": _layernorm(sd, f"{p}.layer_norm2"),
+        }
+    return out
+
+
+def hf_clip_params_from_torch(
+    sd: Mapping, n_vision_layers: int = 12, n_text_layers: int = 12
+) -> Dict[str, Any]:
+    """HuggingFace ``CLIPModel`` state dict -> Flax params for
+    :func:`~multimodal_tpu.models.clip.model.clip_vit_b32`-style builders —
+    loads real openai/clip-vit-* checkpoints distributed through the Hub
+    (same architecture as the reference's CLIP_MODEL_MAPPING weights,
+    models/clip/model.py:24-33)."""
+    vision = {
+        "conv": {
+            "kernel": _t2j(sd["vision_model.embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+        },
+        "cls_token_embedding": _t2j(sd["vision_model.embeddings.class_embedding"]),
+        "positional_embedding": _t2j(sd["vision_model.embeddings.position_embedding.weight"]),
+        "ln_pre": _fp32_layernorm(sd, "vision_model.pre_layrnorm"),
+        "encoder": _hf_clip_layers(sd, "vision_model.encoder", n_vision_layers),
+        "ln_post": _fp32_layernorm(sd, "vision_model.post_layernorm"),
+        # HF Linear y = x W^T; the framework stores the (width, embed) matrix
+        "projection": _t2j(sd["visual_projection.weight"]).T,
+    }
+    text = {
+        "token_embedding": _embedding(sd, "text_model.embeddings.token_embedding"),
+        "positional_embedding": _t2j(sd["text_model.embeddings.position_embedding.weight"]),
+        "encoder": _hf_clip_layers(sd, "text_model.encoder", n_text_layers),
+        "ln_final": _fp32_layernorm(sd, "text_model.final_layer_norm"),
+        "projection": {"kernel": _t2j(sd["text_projection.weight"]).T},
+    }
+    return {"params": {"encoder_a": vision, "encoder_b": text}}
