@@ -1173,3 +1173,34 @@ def hf_clip_params_from_torch(
         "projection": {"kernel": _t2j(sd["text_projection.weight"]).T},
     }
     return {"params": {"encoder_a": vision, "encoder_b": text}}
+
+
+def hf_vit_params_from_torch(sd: Mapping, n_layers: int = 12) -> Dict[str, Any]:
+    """HuggingFace ``ViTModel`` state dict -> variables for
+    :func:`~multimodal_tpu.modules.encoders.vision_transformer.vision_transformer`
+    — loads real google/vit-* Hub checkpoints into the shared ViT tower
+    (reference analog: modules/encoders/vision_transformer.py builders).
+    HF ViT is pre-norm with layer_norm_eps=1e-12; build the tower with
+    ``layer_norm_eps=1e-12, final_layer_norm_eps=1e-12``."""
+    emb = {
+        "cls_token": _t2j(sd["embeddings.cls_token"]),
+        "position_embeddings": _t2j(sd["embeddings.position_embeddings"]),
+        "conv_projection": _conv2d_nchw(sd, "embeddings.patch_embeddings.projection"),
+    }
+    enc: Dict[str, Any] = {}
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        enc[f"layer_{i}"] = {
+            "attention": {
+                "input_proj": _fused_qkv(sd, f"{p}.attention.attention"),
+                "output_proj": _linear(sd, f"{p}.attention.output.dense"),
+            },
+            "feedforward": {
+                "hidden_0": _linear(sd, f"{p}.intermediate.dense"),
+                "out": _linear(sd, f"{p}.output.dense"),
+            },
+            "attention_layernorm": _fp32_layernorm(sd, f"{p}.layernorm_before"),
+            "feedforward_layernorm": _fp32_layernorm(sd, f"{p}.layernorm_after"),
+        }
+    enc["final_layer_norm"] = _fp32_layernorm(sd, "layernorm")
+    return {"params": {"embeddings": emb, "encoder": enc}}
