@@ -267,9 +267,17 @@ class VLDataModule(DataModule):
         text = sample[self.text_key]
         itm_label = 1
         if self.itm_probability > 0 and rng.rand() < self.itm_probability:
-            j = rng.randint(len(self.dataset))
-            text = self.dataset[int(j)][self.text_key]
-            itm_label = 0
+            # resample until the drawn caption differs from this sample's —
+            # pairing an image with its own (or an identical) caption while
+            # labeling itm=0 would be a mislabeled negative (the reference's
+            # negative-pair construction draws a *different* sample)
+            for _ in range(10):
+                j = rng.randint(len(self.dataset))
+                neg_text = self.dataset[int(j)][self.text_key]
+                if neg_text != text:
+                    text = neg_text
+                    itm_label = 0
+                    break
         img = self.image_transform(_to_image(sample[self.image_key], self.jpeg_staging))
         out = dict(img) if isinstance(img, dict) else {"image": np.asarray(img)}
         ids = np.asarray(self.text_transform([text]))[0]

@@ -172,6 +172,7 @@ class ADMStack(nn.Module):
     parameters nest under the stack (stack_name/res_0/...)."""
 
     blocks: Sequence[Tuple[str, Dict[str, Any]]]
+    dropout_rate: float = 0.0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -181,12 +182,17 @@ class ADMStack(nn.Module):
         x: jnp.ndarray,
         res_cond: jnp.ndarray,
         attn_cond: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = x
         for i, (kind, cfg) in enumerate(self.blocks):
             if kind == "res":
-                h = ADMResBlock(name=f"res_{i}", **common, **cfg)(h, res_cond)
+                cfg = dict(cfg)
+                cfg.setdefault("dropout_rate", self.dropout_rate)
+                h = ADMResBlock(name=f"res_{i}", **common, **cfg)(
+                    h, res_cond, deterministic=deterministic
+                )
             elif kind == "attn":
                 h = ADMAttentionBlock(name=f"attn_{i}", **common, **cfg)(h, attn_cond)
             else:
@@ -194,36 +200,40 @@ class ADMStack(nn.Module):
         return h
 
 
-def adm_stack_res(out_channels: int, dim_cond: int, name=None, **common) -> ADMStack:
+def adm_stack_res(out_channels: int, dim_cond: int, name=None,
+                  dropout_rate: float = 0.0, **common) -> ADMStack:
     return ADMStack(
         [("res", dict(out_channels=out_channels, dim_cond=dim_cond))],
-        name=name, **common,
+        dropout_rate=dropout_rate, name=name, **common,
     )
 
 
 def adm_stack_res_attn(
-    out_channels: int, dim_res_cond: int, num_heads: int = 1, name=None, **common
+    out_channels: int, dim_res_cond: int, num_heads: int = 1, name=None,
+    dropout_rate: float = 0.0, **common
 ) -> ADMStack:
     return ADMStack(
         [
             ("res", dict(out_channels=out_channels, dim_cond=dim_res_cond)),
             ("attn", dict(num_heads=num_heads)),
         ],
-        name=name, **common,
+        dropout_rate=dropout_rate, name=name, **common,
     )
 
 
-def adm_stack_res_down(num_channels: int, dim_cond: int, name=None, **common) -> ADMStack:
+def adm_stack_res_down(num_channels: int, dim_cond: int, name=None,
+                       dropout_rate: float = 0.0, **common) -> ADMStack:
     return ADMStack(
         [("res", dict(out_channels=num_channels, dim_cond=dim_cond, resample="down"))],
-        name=name, **common,
+        dropout_rate=dropout_rate, name=name, **common,
     )
 
 
-def adm_stack_res_up(num_channels: int, dim_cond: int, name=None, **common) -> ADMStack:
+def adm_stack_res_up(num_channels: int, dim_cond: int, name=None,
+                     dropout_rate: float = 0.0, **common) -> ADMStack:
     return ADMStack(
         [("res", dict(out_channels=num_channels, dim_cond=dim_cond, resample="up"))],
-        name=name, **common,
+        dropout_rate=dropout_rate, name=name, **common,
     )
 
 
@@ -244,6 +254,9 @@ class ADMUNet(nn.Module):
     embed_name: str = "context"
     num_heads: int = 1
     variance_value_transform: Optional[Callable] = None
+    # reference ADMResBlock trains with pre_outconv_dropout=0.1
+    # (res_block.py:40); inference parity is unaffected (deterministic=True)
+    dropout_rate: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -253,6 +266,7 @@ class ADMUNet(nn.Module):
         x: jnp.ndarray,
         timestep: jnp.ndarray,
         conditional_inputs: Optional[Dict[str, jnp.ndarray]] = None,
+        deterministic: bool = True,
     ) -> DiffusionOutput:
         conditional_inputs = conditional_inputs or {}
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
@@ -301,18 +315,21 @@ class ADMUNet(nn.Module):
                 if self.use_attention_for_layer[li]:
                     stack = adm_stack_res_attn(
                         ch, self.dim_res_cond, num_heads=self.num_heads,
+                        dropout_rate=self.dropout_rate,
                         name=f"down_{li}_{bi}", **common,
                     )
                 else:
                     stack = adm_stack_res(
-                        ch, self.dim_res_cond, name=f"down_{li}_{bi}", **common
+                        ch, self.dim_res_cond, dropout_rate=self.dropout_rate,
+                        name=f"down_{li}_{bi}", **common
                     )
-                h = stack(h, res_cond, attn_cond)
+                h = stack(h, res_cond, attn_cond, deterministic=deterministic)
                 skips.append(h)
             if li < self.num_resize:
                 h = adm_stack_res_down(
-                    ch, self.dim_res_cond, name=f"down_resize_{li}", **common
-                )(h, res_cond, attn_cond)
+                    ch, self.dim_res_cond, dropout_rate=self.dropout_rate,
+                    name=f"down_resize_{li}", **common
+                )(h, res_cond, attn_cond, deterministic=deterministic)
                 skips.append(h)
 
         # Bottleneck: res -> attn -> res in one stack
@@ -323,8 +340,8 @@ class ADMUNet(nn.Module):
                 ("attn", dict(num_heads=self.num_heads)),
                 ("res", dict(out_channels=mid_ch, dim_cond=self.dim_res_cond)),
             ],
-            name="bottleneck", **common,
-        )(h, res_cond, attn_cond)
+            dropout_rate=self.dropout_rate, name="bottleneck", **common,
+        )(h, res_cond, attn_cond, deterministic=deterministic)
 
         # Upsampling decoder: skip concat before every stack; the upsample
         # res block rides inside the layer's last stack (adm.py:310-316)
@@ -344,7 +361,10 @@ class ADMUNet(nn.Module):
                     )
                 if skips:  # more channels than resize layers leaves no skip
                     h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ADMStack(blocks, name=f"up_{li}_{bi}", **common)(h, res_cond, attn_cond)
+                h = ADMStack(
+                    blocks, dropout_rate=self.dropout_rate,
+                    name=f"up_{li}_{bi}", **common,
+                )(h, res_cond, attn_cond, deterministic=deterministic)
 
         h = nn.GroupNorm(
             num_groups=_gn_groups(h.shape[-1]), epsilon=1e-5,

@@ -134,6 +134,11 @@ def context_parallel_attention(
 def zigzag_split(x: jnp.ndarray, n: int, axis: int = 2) -> jnp.ndarray:
     """Reorder a gathered sequence axis into the zigzag layout: shard r of
     the result holds global chunks (r, 2n-1-r). Apply BEFORE sharding."""
+    if x.shape[axis] % (2 * n) != 0:
+        raise ValueError(
+            f"zigzag layout needs the global sequence length ({x.shape[axis]}) "
+            f"divisible by 2*cp ({2 * n})"
+        )
     chunks = jnp.split(x, 2 * n, axis=axis)
     out = []
     for r in range(n):
@@ -161,6 +166,14 @@ def _merge(stats, delta):
     return acc * alpha + acc_i * beta, m_new, l * alpha + l_i * beta
 
 
+def _pvary(x, axis_name):
+    """Mark ``x`` device-varying over ``axis_name`` (pvary was deprecated in
+    favor of pcast in JAX 0.9; support both)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, (axis_name,))
+
+
 def _zero_stats(q, d_v, axis_name):
     b, h, s, _ = q.shape
     stats = (
@@ -170,9 +183,7 @@ def _zero_stats(q, d_v, axis_name):
     )
     # mark as device-varying so both lax.cond branches type-check under
     # shard_map (the other branch's stats vary over the cp axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.lax.pvary(x, (axis_name,)), stats
-    )
+    return jax.tree_util.tree_map(lambda x: _pvary(x, axis_name), stats)
 
 
 def zigzag_context_parallel_attention(
@@ -193,6 +204,11 @@ def zigzag_context_parallel_attention(
       s > r:  q_late·k_early,  q_late·k_late       (s's chunks straddle r's)
       s == r: diagonal — within-chunk triangular + q_late·k_early full
     """
+    if q.shape[2] % 2 != 0:
+        raise ValueError(
+            f"zigzag ring attention needs an even per-device sequence length, "
+            f"got {q.shape[2]} (each shard holds two half-chunks)"
+        )
     scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
     n = jax.lax.psum(1, axis_name)
     rank = jax.lax.axis_index(axis_name)

@@ -157,10 +157,17 @@ class Trainer:
                     lambda new, old: jnp.where(grads_ok, new, old),
                     params, state["params"],
                 )
+                # Guard EVERY selectable opt-state leaf — including scalar
+                # step counters (e.g. optax.MultiSteps' mini_step), which
+                # would otherwise advance on a dropped step. Only leaves
+                # jnp.where cannot select (callables etc.) pass through.
+                def _guard(new, old):
+                    try:
+                        return jnp.where(grads_ok, new, old)
+                    except TypeError:
+                        return new
                 opt_state = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(grads_ok, new, old)
-                    if hasattr(new, "shape") else new,
-                    opt_state, state["opt_state"],
+                    _guard, opt_state, state["opt_state"]
                 )
                 aux = {**aux, "nonfinite_skipped": 1.0 - grads_ok.astype(jnp.float32)}
             new_state = {
