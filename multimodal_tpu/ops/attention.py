@@ -57,6 +57,33 @@ def scaled_dot_product_attention(
         dropout_rate/dropout_rng: attention-prob dropout (XLA path only).
         return_probs: also return the post-softmax probabilities.
     """
+    # A boolean key-padding mask (broadcast shape (b, 1, 1, sk) — every
+    # BERT-style tower's padded-text mask) converts to O(S) segment ids so
+    # the flash path keeps its blockwise Pallas backward; anything
+    # richer becomes an additive bias (flash falls back to an XLA-recompute
+    # backward with a bias, so only take the segment route when it applies).
+    q_segment_ids = kv_segment_ids = None
+    if (
+        mask is not None
+        and bias is None
+        and mask.dtype == jnp.bool_
+        and mask.ndim == 4
+        and mask.shape[1] == 1
+        and mask.shape[2] == 1
+        and mask.shape[3] == k.shape[-2]
+    ):
+        kv_segment_ids = mask[:, 0, 0, :].astype(jnp.int32)
+        q_segment_ids = jnp.ones(
+            (q.shape[0] if mask.shape[0] == q.shape[0] else mask.shape[0],
+             q.shape[-2]),
+            jnp.int32,
+        )
+        if mask.shape[0] == 1 and q.shape[0] > 1:
+            kv_segment_ids = jnp.broadcast_to(
+                kv_segment_ids, (q.shape[0], k.shape[-2])
+            )
+            q_segment_ids = jnp.ones((q.shape[0], q.shape[-2]), jnp.int32)
+
     if mask is not None:
         mask_bias = jnp.where(mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
         bias = mask_bias if bias is None else bias + mask_bias
@@ -81,6 +108,11 @@ def scaled_dot_product_attention(
     ) or bool(os.environ.get("MMTPU_FORCE_FLASH"))
 
     if use_flash:
+        if kv_segment_ids is not None:
+            return flash_attention(
+                q, k, v, None, is_causal, sm_scale,
+                q_segment_ids, kv_segment_ids,
+            )
         return flash_attention(q, k, v, bias, is_causal, sm_scale)
 
     d = q.shape[-1]

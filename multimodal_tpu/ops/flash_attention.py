@@ -9,14 +9,31 @@ recurrence; the differentiable path also emits the per-row logsumexp so the
 backward can run as two more Pallas kernels (dq, and dk/dv) that recompute
 probabilities blockwise from (q, k, lse) — the (Sq, Sk) logits matrix never
 materializes in either direction, so training-mode attention at 8k+ sequence
-fits in HBM. With an additive ``bias`` the backward falls back to an XLA
-recompute: a (B, H, Sq, Sk) bias is itself logits-sized, so there is nothing
-to save by keeping it blockwise (masks used in this library are short-seq).
+fits in HBM.
+
+Masking, in order of preference:
+  - ``causal=True``: triangular masking fused into the kernels (blocks that
+    are fully masked are skipped entirely).
+  - ``q_segment_ids``/``kv_segment_ids``: per-position int32 ids (``(B, Sq)``
+    / ``(B, Sk)``, ids >= 0); position pairs attend iff their ids match.
+    This covers padded BERT-style batches (pad = one id, real tokens =
+    another — or per-sequence ids for sequence packing) and keeps BOTH the
+    forward and the blockwise Pallas backward, at O(S) mask storage instead
+    of the O(S^2) bias. This is the path long-context padded training takes.
+  - ``bias``: an arbitrary additive (B, H, Sq, Sk) float mask. The bias is
+    itself logits-sized, so with it the backward falls back to an XLA
+    recompute — there is nothing to save by keeping it blockwise.
+
+``flash_attention_lse`` additionally returns the per-row logsumexp and is
+differentiable in BOTH outputs — the building block for ring/context-parallel
+attention (``parallel/context_parallel.py``), where per-device partial
+results merge in lse space across ppermute steps.
 
 Layout: ``q (B, H, Sq, D)``, ``k/v (B, H, Sk, D)``. Grids put the contracted
 sequence axis last with "arbitrary" semantics carrying running statistics /
 accumulators in VMEM scratch. LSE/delta ride as (B, H, Sq, 128) buffers
-(TPU lane width, same layout the XLA team's kernel uses).
+(TPU lane width, same layout the XLA team's kernel uses); segment ids ride
+as (B, Sq, 128) / (B, 8, Sk) broadcasts so every in-kernel compare is 2-D.
 """
 
 from __future__ import annotations
@@ -32,6 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -1e30
 LOG2E = 1.4426950408889634
 LANES = 128
+SUBLANES = 8
+_SEG_PAD = -1  # padded positions; never matches a real (>= 0) segment id
 
 
 def _dot_precision(dtype) -> jax.lax.Precision:
@@ -50,9 +69,17 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _seg_mask(q_seg_ref, kv_seg_ref):
+    """(block_q, block_k) visibility from the 2-D segment-id blocks."""
+    q_seg = q_seg_ref[0][:, 0:1]     # (block_q, 1)
+    kv_seg = kv_seg_ref[0][0:1, :]   # (1, block_k)
+    return q_seg == kv_seg
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   sm_scale, causal, causal_offset, block_q, block_k,
-                  sq, sk, precision, bias_ref=None, lse_ref=None):
+                  sq, sk, precision, bias_ref=None, lse_ref=None,
+                  q_seg_ref=None, kv_seg_ref=None):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -89,6 +116,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         if causal:
             s = jnp.where(row + causal_offset >= col, s, DEFAULT_MASK_VALUE)
+        if q_seg_ref is not None:
+            s = jnp.where(_seg_mask(q_seg_ref, kv_seg_ref), s, DEFAULT_MASK_VALUE)
         if sk % block_k != 0:
             s = jnp.where(col < sk, s, DEFAULT_MASK_VALUE)
 
@@ -113,8 +142,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
         if lse_ref is not None:
             # log2-space logsumexp: p_j = exp2(s2_j - lse2) reproduces the
-            # forward probabilities exactly in the backward kernels.
-            lse2 = m_scr[:, 0:1] + jnp.log2(l_safe)
+            # forward probabilities exactly in the backward kernels. Rows
+            # with no visible key keep lse2 = -inf (flows to zero weight in
+            # ring merges).
+            lse2 = jnp.where(
+                l == 0.0, -jnp.inf, m_scr[:, 0:1] + jnp.log2(l_safe)
+            )
             lse_ref[0, 0] = jnp.broadcast_to(lse2, lse_ref[0, 0].shape)
 
 
@@ -126,6 +159,28 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, rem)
     return jnp.pad(x, pads, constant_values=value)
+
+
+def _broadcast_segments(q_segment_ids, kv_segment_ids, b, block_q, block_k):
+    """Lay segment ids out for 2-D in-kernel compares: q ids as
+    (B, Sq_p, LANES), kv ids as (B, SUBLANES, Sk_p); pad with _SEG_PAD."""
+    q_seg = _pad_to(q_segment_ids.astype(jnp.int32), 1, block_q, _SEG_PAD)
+    kv_seg = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, _SEG_PAD)
+    q_seg = jnp.broadcast_to(q_seg[:, :, None], (b, q_seg.shape[1], LANES))
+    kv_seg = jnp.broadcast_to(kv_seg[:, None, :], (b, SUBLANES, kv_seg.shape[1]))
+    return q_seg, kv_seg
+
+
+def _q_seg_spec(block_q, transposed_grid=False):
+    if transposed_grid:
+        return pl.BlockSpec((1, block_q, LANES), lambda b_, h_, ik, iq: (b_, iq, 0))
+    return pl.BlockSpec((1, block_q, LANES), lambda b_, h_, iq, ik: (b_, iq, 0))
+
+
+def _kv_seg_spec(block_k, transposed_grid=False):
+    if transposed_grid:
+        return pl.BlockSpec((1, SUBLANES, block_k), lambda b_, h_, ik, iq: (b_, 0, ik))
+    return pl.BlockSpec((1, SUBLANES, block_k), lambda b_, h_, iq, ik: (b_, 0, ik))
 
 
 @functools.partial(
@@ -143,18 +198,24 @@ def flash_attention_forward(
     block_q: int = 512,
     block_k: int = 512,
     return_lse: bool = False,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
 ):
     """Blockwise fused attention. q: (B,H,Sq,D); k,v: (B,H,Sk,D).
 
     ``bias`` is an additive float mask broadcastable to (B, H, Sq, Sk); pass
-    large-negative values for masked positions. With ``return_lse`` the
+    large-negative values for masked positions. ``q_segment_ids`` /
+    ``kv_segment_ids`` ((B, Sq) / (B, Sk) int32, ids >= 0) restrict
+    attention to matching ids at O(S) storage. With ``return_lse`` the
     log2-space per-row logsumexp (B, H, Sq_padded, 128) is also returned
-    (used by the Pallas backward).
+    (used by the Pallas backward and ring merges).
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if sm_scale is None:
         sm_scale = d ** -0.5
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError("pass both q_segment_ids and kv_segment_ids or neither")
     block_q = min(block_q, max(sq, 8))
     block_k = min(block_k, max(sk, 8))
 
@@ -180,6 +241,14 @@ def flash_attention_forward(
             pl.BlockSpec((1, 1, block_q, block_k), lambda b_, h_, iq, ik: (b_, h_, iq, ik))
         )
         args.append(bias)
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        q_seg, kv_seg = _broadcast_segments(
+            q_segment_ids, kv_segment_ids, b, block_q, block_k
+        )
+        in_specs.append(_q_seg_spec(block_q))
+        in_specs.append(_kv_seg_spec(block_k))
+        args.extend([q_seg, kv_seg])
 
     out_shapes = [jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))]
@@ -196,6 +265,10 @@ def flash_attention_forward(
         if bias is not None:
             bias_ref = refs[idx]
             idx += 1
+        q_seg_ref = kv_seg_ref = None
+        if has_segments:
+            q_seg_ref, kv_seg_ref = refs[idx:idx + 2]
+            idx += 2
         o_ref = refs[idx]
         idx += 1
         lse_ref = refs[idx] if return_lse else None
@@ -206,7 +279,8 @@ def flash_attention_forward(
                       causal_offset=causal_offset, block_q=block_q,
                       block_k=block_k, sq=sq, sk=sk,
                       precision=_dot_precision(q.dtype),
-                      bias_ref=bias_ref, lse_ref=lse_ref)
+                      bias_ref=bias_ref, lse_ref=lse_ref,
+                      q_seg_ref=q_seg_ref, kv_seg_ref=kv_seg_ref)
 
     outs = pl.pallas_call(
         kernel,
@@ -232,7 +306,8 @@ def flash_attention_forward(
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_scr, *, sm_scale, causal, causal_offset,
-                   block_q, block_k, sq, sk, precision):
+                   block_q, block_k, sq, sk, precision,
+                   q_seg_ref=None, kv_seg_ref=None):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -263,6 +338,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         valid = col < sk
         if causal:
             valid = jnp.logical_and(valid, row + causal_offset >= col)
+        if q_seg_ref is not None:
+            valid = jnp.logical_and(valid, _seg_mask(q_seg_ref, kv_seg_ref))
         if sq % block_q != 0:
             valid = jnp.logical_and(valid, row < sq)
         p = jnp.where(valid, jnp.exp2(s2 - lse), 0.0)  # (block_q, block_k)
@@ -284,7 +361,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale, causal,
-                    causal_offset, block_q, block_k, sq, sk, precision):
+                    causal_offset, block_q, block_k, sq, sk, precision,
+                    q_seg_ref=None, kv_seg_ref=None):
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     nq = pl.num_programs(3)
@@ -316,6 +394,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         valid = jnp.logical_and(row < sq, col < sk)
         if causal:
             valid = jnp.logical_and(valid, row + causal_offset >= col)
+        if q_seg_ref is not None:
+            valid = jnp.logical_and(valid, _seg_mask(q_seg_ref, kv_seg_ref))
         p = jnp.where(valid, jnp.exp2(s2 - lse), 0.0)
 
         # dv += p^T @ do   (contract the q-block dim)
@@ -343,11 +423,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
-                    block_q=512, block_k=512):
+                    block_q=512, block_k=512,
+                    q_segment_ids=None, kv_segment_ids=None,
+                    dlse=None):
     """Blockwise dq/dk/dv: two Pallas kernels recomputing p from (q, k, lse).
 
     No (Sq, Sk) buffer is ever materialized — this is the FlashAttention-2
-    backward, replacing the round-1 XLA recompute that did.
+    backward. ``dlse`` is an optional (B, H, Sq) cotangent for the log2-space
+    logsumexp output (ring-attention merges differentiate through lse); its
+    contribution folds into delta exactly: ds = p * (dp - delta + dlse_nat),
+    so delta' = delta - dlse * log2(e) and the kernels run unchanged.
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -368,7 +453,17 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
 
     # delta_i = rowsum(dO_i * O_i): O(S*D) elementwise, fine in XLA
     delta = jnp.sum(do_p.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        # lse cotangent: dlse2/ds_ij = log2e * p_ij, so ds gains
+        # p * dlse2 * log2e — absorbed by delta' = delta - dlse2 * log2e.
+        delta = delta - _pad_to(dlse.astype(jnp.float32), 2, block_q) * LOG2E
     delta_p = jnp.broadcast_to(delta[..., None], (*delta.shape, LANES))
+
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        q_seg, kv_seg = _broadcast_segments(
+            q_segment_ids, kv_segment_ids, b, block_q, block_k
+        )
 
     causal_offset = sk - sq
     common = dict(sm_scale=sm_scale, causal=causal, causal_offset=causal_offset,
@@ -379,10 +474,22 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
     k_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
     lse_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
 
+    dq_in_specs = [q_spec, k_spec, k_spec, q_spec, lse_spec, lse_spec]
+    dq_args = [q_p, k_p, v_p, do_p, lse_p, delta_p]
+    dq_kernel = functools.partial(_bwd_dq_kernel, **common)
+    if has_segments:
+        def dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      qs_ref, ks_ref, dq_ref, dq_scr):
+            _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           dq_ref, dq_scr, q_seg_ref=qs_ref, kv_seg_ref=ks_ref,
+                           **common)
+        dq_in_specs.extend([_q_seg_spec(block_q), _kv_seg_spec(block_k)])
+        dq_args.extend([q_seg, kv_seg])
+
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
+        dq_kernel,
         grid=(b, h, sq_p // block_q, sk_p // block_k),
-        in_specs=[q_spec, k_spec, k_spec, q_spec, lse_spec, lse_spec],
+        in_specs=dq_in_specs,
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -390,16 +497,32 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+    )(*dq_args)
 
     # dk/dv grid transposes the sequence axes: k blocks parallel, q sequential
     kq_q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
     kq_k_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, ik, iq: (b_, h_, ik, 0))
     kq_lse_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
+
+    dkv_in_specs = [kq_q_spec, kq_k_spec, kq_k_spec, kq_q_spec, kq_lse_spec, kq_lse_spec]
+    dkv_args = [q_p, k_p, v_p, do_p, lse_p, delta_p]
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, **common)
+    if has_segments:
+        def dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       qs_ref, ks_ref, dk_ref, dv_ref, dk_scr, dv_scr):
+            _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                            dk_ref, dv_ref, dk_scr, dv_scr,
+                            q_seg_ref=qs_ref, kv_seg_ref=ks_ref, **common)
+        dkv_in_specs.extend([
+            _q_seg_spec(block_q, transposed_grid=True),
+            _kv_seg_spec(block_k, transposed_grid=True),
+        ])
+        dkv_args.extend([q_seg, kv_seg])
+
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **common),
+        dkv_kernel,
         grid=(b, h, sk_p // block_k, sq_p // block_q),
-        in_specs=[kq_q_spec, kq_k_spec, kq_k_spec, kq_q_spec, kq_lse_spec, kq_lse_spec],
+        in_specs=dkv_in_specs,
         out_specs=[kq_k_spec, kq_k_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sk_p, d), k.dtype),
@@ -413,7 +536,7 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+    )(*dkv_args)
 
     return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
 
@@ -433,36 +556,84 @@ def _xla_attention(q, k, v, bias, causal, sm_scale):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention(q, k, v, bias=None, causal=False, sm_scale=None):
-    """Differentiable fused attention: Pallas forward AND backward (bias-free
-    path); with a bias the backward falls back to an XLA recompute."""
-    return flash_attention_forward(q, k, v, bias, causal=causal, sm_scale=sm_scale)
+def flash_attention(q, k, v, bias=None, causal=False, sm_scale=None,
+                    q_segment_ids=None, kv_segment_ids=None):
+    """Differentiable fused attention: Pallas forward AND backward on the
+    bias-free paths (plain / causal / segment-id masked); with an additive
+    ``bias`` the backward falls back to an XLA recompute."""
+    return flash_attention_forward(
+        q, k, v, bias, causal=causal, sm_scale=sm_scale,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+    )
 
 
-def _fa_fwd(q, k, v, bias, causal, sm_scale):
+def _fa_fwd(q, k, v, bias, causal, sm_scale, q_segment_ids, kv_segment_ids):
     if bias is None:
         out, lse = flash_attention_forward(
-            q, k, v, None, causal=causal, sm_scale=sm_scale, return_lse=True
+            q, k, v, None, causal=causal, sm_scale=sm_scale, return_lse=True,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
         )
-        return out, (q, k, v, out, lse)
+        return out, (q, k, v, out, lse, q_segment_ids, kv_segment_ids)
     out = flash_attention_forward(q, k, v, bias, causal=causal, sm_scale=sm_scale)
     return out, (q, k, v, bias)
 
 
 def _fa_bwd(causal, sm_scale, res, g):
-    if len(res) == 5:  # bias-free: blockwise Pallas backward
-        q, k, v, out, lse = res
+    if len(res) == 7:  # bias-free: blockwise Pallas backward
+        q, k, v, out, lse, q_seg, kv_seg = res
         dq, dk, dv = _flash_backward(
-            q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale
+            q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
         )
-        return dq, dk, dv, None
+        return dq, dk, dv, None, None, None
     q, k, v, bias = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_, causal, sm_scale),
         q, k, v, bias,
     )
     dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias
+    return dq, dk, dv, dbias, None, None
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# LSE-returning differentiable attention — the ring/context-parallel block.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_lse(q, k, v, causal=False, sm_scale=None):
+    """Fused attention returning ``(out, lse2)`` where ``lse2 (B, H, Sq)`` is
+    the log2-space per-row logsumexp of the scaled logits. Differentiable in
+    BOTH outputs (the lse cotangent folds into the backward's delta), which
+    is what ring attention needs: per-device partial (out, lse) pairs merge
+    in lse space across ppermute steps and gradients flow through the merge
+    weights. Rows with no visible key return lse2 = -inf and out = 0."""
+    out, lse = flash_attention_forward(
+        q, k, v, None, causal=causal, sm_scale=sm_scale, return_lse=True
+    )
+    return out, lse[:, :, : q.shape[2], 0]
+
+
+def _fa_lse_fwd(q, k, v, causal, sm_scale):
+    out, lse = flash_attention_forward(
+        q, k, v, None, causal=causal, sm_scale=sm_scale, return_lse=True
+    )
+    lse_rows = lse[:, :, : q.shape[2], 0]
+    return (out, lse_rows), (q, k, v, out, lse)
+
+
+def _fa_lse_bwd(causal, sm_scale, res, g):
+    q, k, v, out, lse = res
+    g_out, g_lse = g
+    # Fully-masked rows carry lse = -inf with zero output; their cotangents
+    # must not poison delta (0 * inf): zero them explicitly.
+    g_lse = jnp.where(jnp.isfinite(lse[:, :, : q.shape[2], 0]), g_lse, 0.0)
+    dq, dk, dv = _flash_backward(
+        q, k, v, out, lse, g_out, causal=causal, sm_scale=sm_scale, dlse=g_lse
+    )
+    return dq, dk, dv
+
+
+flash_attention_lse.defvjp(_fa_lse_fwd, _fa_lse_bwd)
