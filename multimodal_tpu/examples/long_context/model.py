@@ -1,0 +1,102 @@
+"""Long-context causal LM — the model-level consumer of context parallelism.
+
+No reference counterpart: the reference tops out at 1024-token sequences
+(``torchmultimodal`` GPTs) and has no sequence-axis parallelism at all;
+SURVEY §5.7 makes long-context training a required first-class capability of
+the TPU rebuild. This model is the canonical wiring:
+
+  embed (+ positions) -> shard_sequence_for_cp (zigzag, once)
+  -> TransformerDecoder(cp_axis_name, cp_layout='zigzag') x N
+  -> unshard_sequence_for_cp -> LM head
+
+Every decoder layer's causal self-attention runs the load-balanced zigzag
+ring over the ``cp`` mesh axis with Pallas-flash block kernels
+(``parallel/context_parallel.py``); MLPs/norms stay ordinary GSPMD code, so
+only the embedding boundary touches layout. With ``cp_axis_name=None`` the
+same module is a plain (single-device-sequence) GPT — identical parameters,
+which is what the cp==1 equivalence tests rely on.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_tpu.modules.layers.transformer import TransformerDecoder
+from multimodal_tpu.parallel.sequence_parallel import (
+    shard_sequence_for_cp,
+    unshard_sequence_for_cp,
+)
+
+
+class LongContextLM(nn.Module):
+    """Decoder-only causal LM with optional sequence (context) parallelism."""
+
+    vocab_size: int
+    max_seq_len: int
+    n_layer: int = 12
+    d_model: int = 768
+    n_head: int = 12
+    dim_feedforward: int = 3072
+    dropout: float = 0.0
+    cp_axis_name: Optional[str] = None
+    remat: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, s = tokens.shape
+        x = nn.Embed(
+            self.vocab_size, self.d_model, param_dtype=self.param_dtype,
+            name="tok_embed",
+        )(tokens).astype(self.dtype)
+        pos = nn.Embed(
+            self.max_seq_len, self.d_model, param_dtype=self.param_dtype,
+            name="pos_embed",
+        )(jnp.arange(s)[None, :]).astype(self.dtype)
+        x = x + pos
+
+        # positions are already attached -> safe to reorder the sequence into
+        # the zigzag layout once; every layer's ring then runs balanced
+        if self.cp_axis_name is not None:
+            x = shard_sequence_for_cp(x, self.cp_axis_name, causal=True, seq_axis=1)
+
+        out = TransformerDecoder(
+            n_layer=self.n_layer,
+            d_model=self.d_model,
+            n_head=self.n_head,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            activation="gelu",
+            layer_norm_eps=1e-5,
+            norm_first=True,
+            use_cross_attention=False,
+            final_layer_norm_eps=1e-5,
+            remat=self.remat,
+            cp_axis_name=self.cp_axis_name,
+            cp_layout="zigzag",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="decoder",
+        )(x, is_causal=True, deterministic=deterministic)
+        h = out.last_hidden_state
+
+        if self.cp_axis_name is not None:
+            h = unshard_sequence_for_cp(h, self.cp_axis_name, causal=True, seq_axis=1)
+
+        return nn.Dense(
+            self.vocab_size, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="lm_head",
+        )(h)
+
+
+def next_token_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean cross-entropy of aligned (logits, targets). Callers feed the
+    model ``tokens[:, :-1]`` and pass ``tokens[:, 1:]`` here, keeping the
+    model's sequence length divisible by 2*cp for the zigzag layout."""
+    logp = nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)

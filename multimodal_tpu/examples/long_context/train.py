@@ -1,0 +1,148 @@
+"""Long-context LM training recipe over a dp × fsdp × cp mesh.
+
+Green-field capability (SURVEY §5.7) — the reference has nothing like it.
+``Trainer.fit`` drives the full stack: params FSDP-sharded, batch
+dp-sharded, the sequence axis cp-sharded through every decoder layer's
+zigzag ring attention (``examples/long_context/model.py``).
+
+Data: a flat token stream (.npy / .bin int32 memmap, or synthetic when no
+path is given) chunked into (seq_len + 1)-token windows; the loss is mean
+next-token cross-entropy.
+
+Usage::
+
+    python -m multimodal_tpu.examples.long_context.train \
+        --seq-len 8192 --cp 4 --dp 2 --steps 100 --tokens data/tokens.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_tpu.examples.long_context.model import LongContextLM, next_token_loss
+from multimodal_tpu.parallel.mesh import create_mesh
+from multimodal_tpu.training.trainer import Trainer
+
+
+class TokenWindowDataset:
+    """(seq_len + 1)-token windows over a flat int32 token stream."""
+
+    def __init__(self, tokens: np.ndarray, seq_len: int):
+        self.tokens = tokens
+        self.seq_len = seq_len
+        self.n = max(0, (len(tokens) - 1) // seq_len)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        start = i * self.seq_len
+        return np.asarray(self.tokens[start:start + self.seq_len + 1], np.int32)
+
+
+def token_batches(
+    dataset: TokenWindowDataset, batch_size: int, seed: int = 0
+) -> Iterator[dict]:
+    rng = np.random.RandomState(seed)
+    while True:
+        idx = rng.randint(len(dataset), size=batch_size)
+        yield {"tokens": np.stack([dataset[int(i)] for i in idx])}
+
+
+def synthetic_tokens(vocab_size: int, n: int, seed: int = 0) -> np.ndarray:
+    return np.random.RandomState(seed).randint(vocab_size, size=n).astype(np.int32)
+
+
+def build_trainer(
+    model: LongContextLM,
+    mesh,
+    learning_rate: float = 3e-4,
+    weight_decay: float = 0.1,
+    checkpoint_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
+) -> Trainer:
+    def loss_fn(params, batch, rng):
+        inputs = batch["tokens"][:, :-1]
+        targets = batch["tokens"][:, 1:]
+        logits = model.apply(
+            params, inputs, deterministic=False, rngs={"dropout": rng},
+        )
+        loss = next_token_loss(logits, targets)
+        return loss, {"perplexity": jnp.exp(loss)}
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+    return Trainer(
+        loss_fn, tx, strategy="fsdp", mesh=mesh,
+        checkpoint_dir=checkpoint_dir, log_dir=log_dir,
+        skip_nonfinite_updates=True,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tokens", default=None, help=".npy/.bin int32 token stream")
+    p.add_argument("--vocab-size", type=int, default=32000)
+    p.add_argument("--seq-len", type=int, default=8192)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--n-layer", type=int, default=12)
+    p.add_argument("--d-model", type=int, default=768)
+    p.add_argument("--n-head", type=int, default=12)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--fsdp", type=int, default=-1)
+    p.add_argument("--cp", type=int, default=1)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    args = p.parse_args(argv)
+
+    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=1, cp=args.cp)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = LongContextLM(
+        vocab_size=args.vocab_size,
+        max_seq_len=args.seq_len,
+        n_layer=args.n_layer,
+        d_model=args.d_model,
+        n_head=args.n_head,
+        dim_feedforward=4 * args.d_model,
+        cp_axis_name="cp" if args.cp > 1 else None,
+        remat=True,
+        dtype=dtype,
+    )
+
+    if args.tokens:
+        stream = np.load(args.tokens, mmap_mode="r") if args.tokens.endswith(".npy") \
+            else np.memmap(args.tokens, dtype=np.int32)
+    else:
+        stream = synthetic_tokens(args.vocab_size, args.batch_size * args.seq_len * 64)
+    data = token_batches(
+        TokenWindowDataset(stream, args.seq_len), args.batch_size
+    )
+
+    trainer = build_trainer(
+        model, mesh, learning_rate=args.lr,
+        checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
+    )
+    with jax.set_mesh(mesh):
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.seq_len), jnp.int32),
+        )
+    state = trainer.restore_or_init(params)
+    state = trainer.fit(state, data, num_steps=args.steps,
+                        checkpoint_every=500 if args.checkpoint_dir else None)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -45,11 +45,20 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Self-attention with a single fused QKV projection."""
+    """Self-attention with a single fused QKV projection.
+
+    ``cp_axis_name`` makes the layer sequence-parallel: self-attention runs
+    the ring (zigzag when causal) over that mesh axis via
+    ``parallel.sequence_parallel`` — requires no mask, no attention dropout,
+    and the step to run under ``jax.set_mesh``. ``cp_layout='zigzag'``
+    declares the model pre-split the sequence (``shard_sequence_for_cp``).
+    """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    cp_axis_name: Optional[str] = None
+    cp_layout: str = "contiguous"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -74,6 +83,32 @@ class MultiHeadSelfAttention(nn.Module):
         rate = self.dropout if not deterministic else 0.0
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+
+        if self.cp_axis_name is not None and not return_attn_weights:
+            if attn_mask is not None:
+                raise ValueError(
+                    "context-parallel self-attention does not support an "
+                    "attn_mask (use segment-id masking or cp_axis_name=None)"
+                )
+            if rate > 0.0:
+                raise ValueError(
+                    "context-parallel self-attention does not support "
+                    "attention-prob dropout"
+                )
+            from multimodal_tpu.parallel.sequence_parallel import (
+                sequence_parallel_self_attention,
+            )
+
+            attn = sequence_parallel_self_attention(
+                q, k, v, self.cp_axis_name,
+                causal=is_causal, layout=self.cp_layout,
+            )
+            attn = _merge_heads(attn)
+            return nn.Dense(
+                self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="output_proj",
+            )(attn)
+
         mask, bias = _mask_or_bias(attn_mask)
         probs = None
         if return_attn_weights:
@@ -110,6 +145,8 @@ class MultiHeadAttentionWithCache(nn.Module):
     num_heads: int
     dropout: float = 0.0
     add_bias: bool = True
+    cp_axis_name: Optional[str] = None
+    cp_layout: str = "contiguous"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -140,6 +177,27 @@ class MultiHeadAttentionWithCache(nn.Module):
         rate = self.dropout if not deterministic else 0.0
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+
+        # Context-parallel path: training-shape SELF-attention only (the
+        # decoder layer passes the same array as q/k/v; decode-time caching
+        # and masks keep the standard path). Cross-attention needs no ring —
+        # with K/V replicated over cp, GSPMD parallelizes it as-is.
+        if (
+            self.cp_axis_name is not None
+            and key is query and value is query
+            and past_key_value is None and not use_cache
+            and attn_mask is None and rate == 0.0
+        ):
+            from multimodal_tpu.parallel.sequence_parallel import (
+                sequence_parallel_self_attention,
+            )
+
+            attn = sequence_parallel_self_attention(
+                q, k, v, self.cp_axis_name,
+                causal=is_causal, layout=self.cp_layout,
+            )
+            return dense(self.dim_q, "output_proj")(_merge_heads(attn))
+
         mask, bias = _mask_or_bias(attn_mask)
         attn = scaled_dot_product_attention(
             q, k, v, mask=mask, bias=bias, is_causal=is_causal,

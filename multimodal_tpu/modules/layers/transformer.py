@@ -67,12 +67,14 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_eps: float = 1e-12
     norm_first: bool = False
     drop_path_rate: Optional[float] = None
+    cp_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self):
         self.attention = MultiHeadSelfAttention(
             embed_dim=self.d_model, num_heads=self.n_head, dropout=self.dropout,
+            cp_axis_name=self.cp_axis_name,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
         self.feedforward = MLP(
@@ -141,6 +143,7 @@ class TransformerEncoder(nn.Module):
     final_layer_norm_eps: Optional[float] = None
     drop_path_rate: Optional[float] = None
     remat: bool = False
+    cp_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -175,7 +178,8 @@ class TransformerEncoder(nn.Module):
             out = layer_cls(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.activation, self.layer_norm_eps, self.norm_first,
-                drop_rates[i], dtype=self.dtype, param_dtype=self.param_dtype,
+                drop_rates[i], cp_axis_name=self.cp_axis_name,
+                dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(hidden_states, attention_mask, deterministic, return_attn_weights)
             if return_attn_weights:
@@ -211,6 +215,8 @@ class TransformerDecoderLayer(nn.Module):
     norm_first: bool = False
     use_cross_attention: bool = True
     dim_kv: Optional[int] = None
+    cp_axis_name: Optional[str] = None
+    cp_layout: str = "contiguous"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -218,7 +224,9 @@ class TransformerDecoderLayer(nn.Module):
         dim_kv = self.dim_kv if self.dim_kv is not None else self.d_model
         self.attention = MultiHeadAttentionWithCache(
             dim_q=self.d_model, dim_kv=self.d_model, num_heads=self.n_head,
-            dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
+            dropout=self.dropout, cp_axis_name=self.cp_axis_name,
+            cp_layout=self.cp_layout,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
         self.attention_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
         if self.use_cross_attention:
@@ -307,6 +315,8 @@ class TransformerDecoder(nn.Module):
     cross_attention_interval: int = 1
     final_layer_norm_eps: Optional[float] = None
     remat: bool = False
+    cp_axis_name: Optional[str] = None
+    cp_layout: str = "contiguous"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -333,7 +343,9 @@ class TransformerDecoder(nn.Module):
             hidden_states, present_kv = TransformerDecoderLayer(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.activation, self.layer_norm_eps, self.norm_first,
-                use_ca, self.dim_kv, dtype=self.dtype, param_dtype=self.param_dtype,
+                use_ca, self.dim_kv, cp_axis_name=self.cp_axis_name,
+                cp_layout=self.cp_layout,
+                dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(
                 hidden_states,

@@ -239,7 +239,10 @@ class Trainer:
                 self.logger.log(s, {**m, "items_per_sec": ips})
             pending.clear()
 
-        with self.mesh:
+        # set_mesh (not the legacy physical-mesh context): it installs the
+        # abstract mesh, which sequence-parallel layers resolve for their
+        # in-model shard_map (parallel/sequence_parallel.py)
+        with jax.set_mesh(self.mesh):
             for i in range(num_steps):
                 batch = next(data_iter)
                 rng, step_rng = jax.random.split(rng)

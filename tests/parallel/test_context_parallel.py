@@ -44,6 +44,7 @@ def test_ring_attention_matches_full():
             mesh=mesh,
             in_specs=(P(None, None, "cp"), P(None, None, "cp"), P(None, None, "cp")),
             out_specs=P(None, None, "cp"),
+            check_vma=False,
         )
         out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         assert_expected(out, ref, rtol=2e-4, atol=2e-5)
@@ -65,6 +66,7 @@ def test_causal_ring_attention_matches_full():
             mesh=mesh,
             in_specs=(P(None, None, "cp"), P(None, None, "cp"), P(None, None, "cp")),
             out_specs=P(None, None, "cp"),
+            check_vma=False,
         )
         out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
         assert_expected(out, ref, rtol=2e-4, atol=2e-5)
@@ -96,6 +98,7 @@ def test_zigzag_causal_ring_attention_matches_full():
         mesh=mesh,
         in_specs=(P(None, None, "cp"),) * 3,
         out_specs=P(None, None, "cp"),
+            check_vma=False,
     )
     out = sharded(
         zigzag_split(jnp.asarray(q), 8),
@@ -121,6 +124,7 @@ def test_causal_ring_attention_cp_vs_single_device():
         mesh=mesh,
         in_specs=(P(None, None, "cp"), P(None, None, "cp"), P(None, None, "cp")),
         out_specs=P(None, None, "cp"),
+            check_vma=False,
     )
     out = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     assert_expected(out, ref, rtol=2e-4, atol=2e-5)
