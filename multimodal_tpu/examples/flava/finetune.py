@@ -32,7 +32,17 @@ DEFAULTS: Dict[str, Any] = {
         "patch_size": 16,
         "overrides": {},
     },
-    "data": {"batch_size": 8, "text_len": 77, "seed": 0},
+    "data": {
+        "batch_size": 8, "text_len": 77, "seed": 0,
+        # on-disk labeled dataset ({image, text, label} samples, e.g.
+        # hateful-memes jsonl) -> the real VLDataModule pipeline;
+        # None -> synthetic smoke/perf batches
+        "path": None,
+        "image_key": "image",
+        "text_key": "text",
+        "label_key": "label",
+        "vocab_path": None,
+    },
     "train": {"steps": 10, "lr": 1e-4, "weight_decay": 0.1, "strategy": "fsdp",
               "log_dir": None, "log_interval": 1, "checkpoint_dir": None},
 }
@@ -48,6 +58,51 @@ def synthetic_batches(cfg: Dict[str, Any]) -> Iterator[Dict[str, np.ndarray]]:
             "text": rng.randint(1, m["vocab_size"], (b, s)).astype(np.int32),
             "labels": rng.randint(0, m["num_classes"], (b,)).astype(np.int32),
         }
+
+
+def real_batches(cfg: Dict[str, Any]) -> Iterator[Dict[str, np.ndarray]]:
+    """Labeled image+text batches through the real data layer (reference
+    FLAVAClassificationDataModule: image transform + tokenizer + labels).
+    Reuses VLDataModule (itm/mlm disabled) with the label passed through."""
+    from PIL import Image
+
+    from multimodal_tpu.data.datamodules import VLDataModule, _to_image
+    from multimodal_tpu.data.datasets import load_dataset
+    from multimodal_tpu.examples.flava.pretrain import build_text_transform
+    from multimodal_tpu.transforms.flava_transform import FLAVAImageTransform
+
+    d, m = cfg["data"], cfg["model"]
+
+    class ClassificationVLDataModule(VLDataModule):
+        def process(self, sample, rng):
+            out = super().process(sample, rng)
+            out["labels"] = np.asarray(sample[d["label_key"]], np.int32)
+            return out
+
+    flava_transform = FLAVAImageTransform(
+        is_train=True, encoder_input_size=m["image_size"],
+        codebook_input_size=8, mask_num_patches=1, mask_window_size=1,
+        mask_min_patches=1, rng=np.random.RandomState(d["seed"]),
+    )
+
+    def image_transform(img):
+        img = _to_image(img)
+        if isinstance(img, np.ndarray):
+            img = Image.fromarray(np.asarray(img, np.uint8))
+        return {"image": flava_transform.transform(img)["image"]}
+
+    dm = ClassificationVLDataModule(
+        load_dataset(d["path"], split="train"),
+        image_transform=image_transform,
+        text_transform=build_text_transform(cfg),
+        mlm_collator=None,
+        itm_probability=0.0,
+        image_key=d["image_key"],
+        text_key=d["text_key"],
+        batch_size=d["batch_size"],
+        seed=d["seed"],
+    )
+    return dm.train_batches()
 
 
 def build_trainer_and_state(cfg: Dict[str, Any]):
@@ -106,7 +161,8 @@ def main(argv=None) -> None:
     cfg = build_config(args.config, args.overrides, defaults=DEFAULTS)
 
     trainer, state = build_trainer_and_state(cfg)
-    state = trainer.fit(state, synthetic_batches(cfg), num_steps=cfg["train"]["steps"])
+    data = real_batches(cfg) if cfg["data"]["path"] else synthetic_batches(cfg)
+    state = trainer.fit(state, data, num_steps=cfg["train"]["steps"])
     print(f"finished at step {int(state['step'])}", flush=True)
 
 

@@ -58,6 +58,7 @@ DEFAULTS: Dict[str, Any] = {
         "mlm_probability": 0.15,
         "seed": 0,
         "imagenet_path": None,   # image-folder/arrow dataset -> zero-shot eval
+        "coco_path": None,       # caption dataset -> COCO retrieval eval
         "eval_batch_size": 64,
         "zero_shot_templates": None,  # cap on prompt templates (None = all 80)
     },
@@ -347,11 +348,22 @@ def main(argv=None) -> None:
           f"devices={jax.device_count()} strategy={cfg['train']['strategy']}",
           flush=True)
     data = real_batches(cfg) if cfg["data"]["path"] else synthetic_batches(cfg)
-    eval_fn = None
+    eval_fns = []
     if cfg["data"]["imagenet_path"]:
         # note: eval_fn closes over the model built inside
         # build_trainer_and_state; rebuild the same module (cheap, stateless)
-        eval_fn = build_zero_shot_eval(cfg, _build_model(cfg))
+        eval_fns.append(build_zero_shot_eval(cfg, _build_model(cfg)))
+    if cfg["data"].get("coco_path"):
+        from multimodal_tpu.examples.flava.coco_zero_shot import build_coco_eval
+
+        eval_fns.append(build_coco_eval(cfg, _build_model(cfg)))
+    eval_fn = None
+    if eval_fns:
+        def eval_fn(params, _fns=tuple(eval_fns)):
+            merged = {}
+            for fn in _fns:
+                merged.update(fn(params))
+            return merged
     state = trainer.fit(
         state,
         data,

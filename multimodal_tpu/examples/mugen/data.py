@@ -39,6 +39,11 @@ class MUGENDataModule(DataModule):
         fixed_start_idx: bool = True,
         random_text: bool = False,
         text_len: int = 32,
+        get_audio: bool = False,
+        audio_dir: Optional[str] = None,
+        audio_sample_rate: Optional[int] = None,
+        audio_sample_length: Optional[int] = None,
+        audio_transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         **kwargs,
     ):
         with open(os.path.join(data_path, f"{split}.json")) as f:
@@ -56,6 +61,19 @@ class MUGENDataModule(DataModule):
         self.fixed_start_idx = fixed_start_idx
         self.random_text = random_text
         self.text_len = text_len
+        # audio modality (reference mugen_dataset.py:226 get_game_audio):
+        # {id}.wav / {id}.npy stereo tracks next to the frames, loaded at
+        # 22050 Hz x 3.2 s by default (examples/mugen/audio_utils.py)
+        self.get_audio = get_audio
+        self.audio_dir = audio_dir if audio_dir is not None else frames_dir
+        from multimodal_tpu.examples.mugen.audio_utils import (
+            AUDIO_SAMPLE_LENGTH,
+            AUDIO_SAMPLE_RATE,
+        )
+
+        self.audio_sample_rate = audio_sample_rate or AUDIO_SAMPLE_RATE
+        self.audio_sample_length = audio_sample_length or AUDIO_SAMPLE_LENGTH
+        self.audio_transform = audio_transform
 
     def _video_id(self, sample: Dict) -> str:
         vid = sample["video"]
@@ -76,6 +94,28 @@ class MUGENDataModule(DataModule):
         if video.max() > 1.5:
             video = video / 255.0
         out = {"video": video}
+
+        if self.get_audio:
+            from multimodal_tpu.examples.mugen.audio_utils import load_audio
+
+            vid = self._video_id(sample)
+            audio_path = None
+            for ext in (".wav", ".npy"):
+                cand = os.path.join(self.audio_dir, f"{vid}{ext}")
+                if os.path.exists(cand):
+                    audio_path = cand
+                    break
+            if audio_path is None:
+                raise FileNotFoundError(
+                    f"no audio for video {vid} under {self.audio_dir}"
+                )
+            audio = load_audio(
+                audio_path, sr=self.audio_sample_rate,
+                duration=self.audio_sample_length,
+            )
+            if self.audio_transform is not None:
+                audio = self.audio_transform(audio)
+            out["audio"] = np.asarray(audio, np.float32)
 
         annotations = sample.get("annotations") or []
         if annotations:

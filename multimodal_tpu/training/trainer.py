@@ -84,10 +84,18 @@ class Trainer:
         skip_nonfinite_updates: bool = False,
         grad_accum_steps: int = 1,
         checkpoint_on_preemption: bool = False,
+        mutable_state: bool = False,
     ):
-        if strategy not in ("ddp", "fsdp"):
+        """``mutable_state=True`` supports models with non-trainable mutable
+        collections (BatchNorm running stats, EMA buffers): the loss
+        signature becomes ``loss_fn(params, model_state, batch, rng) ->
+        (loss, aux, new_model_state)`` and the updated collections ride the
+        train state untouched by the optimizer (the analog of torch's
+        buffer/parameter split — buffers must never see weight decay)."""
+        if strategy not in ("ddp", "fsdp", "tp"):
             raise ValueError(f"unknown strategy {strategy}")
         self.loss_fn = loss_fn
+        self.mutable_state = mutable_state
         if grad_accum_steps > 1:
             # microbatch accumulation (analog of omnivore's
             # --video-grad-accum-iter) as an optax wrapper
@@ -116,7 +124,13 @@ class Trainer:
         self._preempted = True
 
     def shard_params(self, params: Any) -> Tuple[Any, Any]:
-        if self.strategy == "fsdp":
+        if self.strategy == "tp":
+            # Megatron-style tensor parallelism over the mesh's tp axis
+            # (fsdp rides the other kernel dim; see parallel/sharding.py)
+            from multimodal_tpu.parallel.sharding import tp_sharding
+
+            shardings = tp_sharding(params, self.mesh)
+        elif self.strategy == "fsdp":
             shardings = fsdp_sharding(params, self.mesh)
         else:
             shardings = replicated_sharding(params, self.mesh)
@@ -124,13 +138,22 @@ class Trainer:
         params = jax.tree_util.tree_map(jnp.array, params)
         return jax.device_put(params, shardings), shardings
 
-    def init_state(self, params: Any) -> Dict[str, Any]:
+    def init_state(self, params: Any, model_state: Any = None) -> Dict[str, Any]:
         params, _ = self.shard_params(params)
         opt_state = self.optimizer.init(params)
-        return {"params": params, "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+        state = {"params": params, "opt_state": opt_state,
+                 "step": jnp.zeros((), jnp.int32)}
+        if self.mutable_state:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def restore_or_init(self, params: Any) -> Dict[str, Any]:
-        state = self.init_state(params)
+            model_state = jax.tree_util.tree_map(jnp.array, model_state or {})
+            state["model_state"] = jax.device_put(
+                model_state, NamedSharding(self.mesh, P())
+            )
+        return state
+
+    def restore_or_init(self, params: Any, model_state: Any = None) -> Dict[str, Any]:
+        state = self.init_state(params, model_state)
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             print(f"resumed from checkpoint step {int(state['step'])}", flush=True)
@@ -140,11 +163,24 @@ class Trainer:
         optimizer = self.optimizer
         loss_fn = self.loss_fn
         skip_nonfinite = self.skip_nonfinite_updates
+        mutable_state = self.mutable_state
 
         def step(state, batch, rng):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"], batch, rng
-            )
+            if mutable_state:
+                def wrapped(params):
+                    loss, aux, new_ms = loss_fn(
+                        params, state["model_state"], batch, rng
+                    )
+                    return loss, (aux, new_ms)
+
+                (loss, (aux, new_model_state)), grads = jax.value_and_grad(
+                    wrapped, has_aux=True
+                )(state["params"])
+            else:
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state["params"], batch, rng
+                )
+                new_model_state = None
             updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
             if skip_nonfinite:
@@ -175,6 +211,12 @@ class Trainer:
                 "opt_state": opt_state,
                 "step": state["step"] + 1,
             }
+            if mutable_state:
+                if skip_nonfinite:
+                    new_model_state = jax.tree_util.tree_map(
+                        _guard, new_model_state, state["model_state"]
+                    )
+                new_state["model_state"] = new_model_state
             return new_state, {"loss": loss, **aux}
 
         return jax.jit(step, donate_argnums=(0,))
@@ -239,35 +281,45 @@ class Trainer:
                 self.logger.log(s, {**m, "items_per_sec": ips})
             pending.clear()
 
-        # set_mesh (not the legacy physical-mesh context): it installs the
+        # set_mesh (not the legacy physical-mesh context) installs the
         # abstract mesh, which sequence-parallel layers resolve for their
-        # in-model shard_map (parallel/sequence_parallel.py)
-        with jax.set_mesh(self.mesh):
-            for i in range(num_steps):
-                batch = next(data_iter)
-                rng, step_rng = jax.random.split(rng)
+        # in-model shard_map (parallel/sequence_parallel.py). Scope it to
+        # the jitted step only: eval/checkpoint hooks run eager host code
+        # whose ad-hoc shapes must not be subject to strict sharding
+        # propagation (an eval_fn that itself needs the mesh — e.g. for a
+        # cp model — can enter jax.set_mesh(trainer.mesh) around its jit).
+        for i in range(num_steps):
+            batch = next(data_iter)
+            rng, step_rng = jax.random.split(rng)
+            with jax.set_mesh(self.mesh):
                 state, metrics = self._step_fn(state, batch, step_rng)
-                leaves = [l for l in jax.tree_util.tree_leaves(batch) if jnp.ndim(l) > 0]
-                items += leaves[0].shape[0] if leaves else 1
-                step = start_step + i + 1
-                dt = time.perf_counter() - t0
-                pending.append((step, metrics, items / max(dt, 1e-9)))
-                if step % self.logger.log_interval == 0 or i == num_steps - 1:
-                    flush()
-                if eval_fn is not None and (
-                    (eval_every and step % eval_every == 0) or i == num_steps - 1
-                ):
-                    flush()
-                    eval_metrics = eval_fn(state["params"])
-                    self.logger.log(
-                        step, {f"eval_{k}": v for k, v in eval_metrics.items()}
-                    )
-                if self.ckpt is not None and checkpoint_every and step % checkpoint_every == 0:
-                    flush()
-                    self.ckpt.save(step, jax.device_get(state))
-                if self._preempted:
-                    flush()
-                    self.ckpt.save(step, jax.device_get(state))
-                    print(f"preemption checkpoint saved at step {step}", flush=True)
-                    break
+            leaves = [l for l in jax.tree_util.tree_leaves(batch) if jnp.ndim(l) > 0]
+            items += leaves[0].shape[0] if leaves else 1
+            step = start_step + i + 1
+            dt = time.perf_counter() - t0
+            pending.append((step, metrics, items / max(dt, 1e-9)))
+            if step % self.logger.log_interval == 0 or i == num_steps - 1:
+                flush()
+            if eval_fn is not None and (
+                (eval_every and step % eval_every == 0) or i == num_steps - 1
+            ):
+                flush()
+                # mutable-state models evaluate with params + buffers
+                # merged back into one variables dict
+                eval_vars = (
+                    {**state["params"], **state["model_state"]}
+                    if self.mutable_state else state["params"]
+                )
+                eval_metrics = eval_fn(eval_vars)
+                self.logger.log(
+                    step, {f"eval_{k}": v for k, v in eval_metrics.items()}
+                )
+            if self.ckpt is not None and checkpoint_every and step % checkpoint_every == 0:
+                flush()
+                self.ckpt.save(step, jax.device_get(state))
+            if self._preempted:
+                flush()
+                self.ckpt.save(step, jax.device_get(state))
+                print(f"preemption checkpoint saved at step {step}", flush=True)
+                break
         return state

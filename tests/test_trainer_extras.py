@@ -154,3 +154,54 @@ def test_eval_hook(tmp_path):
     assert len(calls) == 3
     log = (tmp_path / "metrics.jsonl").read_text()
     assert "eval_w_norm" in log
+
+
+def test_mutable_state_batchnorm_training():
+    """Trainer(mutable_state=True): BatchNorm running stats update through
+    the model_state channel and the optimizer never touches them (the
+    parameter/buffer split — buffers must not see grads or weight decay)."""
+    import flax.linen as nn
+
+    class BNModel(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic: bool = True):
+            h = nn.Dense(4)(x)
+            h = nn.BatchNorm(use_running_average=deterministic)(h)
+            return jnp.sum(h ** 2)
+
+    model = BNModel()
+    mesh = create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
+    x0 = np.ones((4, 4), np.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0), jnp.asarray(x0)))
+    model_state = {"batch_stats": variables.pop("batch_stats")}
+
+    def loss_fn(params, ms, batch, rng):
+        loss, updated = model.apply(
+            {**params, **ms}, batch["x"], deterministic=False,
+            mutable=["batch_stats"],
+        )
+        return loss, {}, dict(updated)
+
+    trainer = Trainer(loss_fn, optax.adamw(1e-2, weight_decay=0.5),
+                      strategy="ddp", mesh=mesh, mutable_state=True)
+    state = trainer.init_state(variables, model_state)
+    stats_before = jax.device_get(state["model_state"])
+
+    def data():
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            yield {"x": rng.randn(4, 4).astype(np.float32) + 2.0}
+
+    state = trainer.fit(state, data(), num_steps=3)
+    stats_after = jax.device_get(state["model_state"])
+    # running mean moved toward the data mean (~2 after the dense layer's
+    # projection); decidedly non-zero change
+    before = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(stats_before)])
+    after = np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(stats_after)])
+    assert np.max(np.abs(after - before)) > 1e-3
+    # the optimizer state covers ONLY trainable params (no batch_stats leaf)
+    n_param_leaves = len(jax.tree_util.tree_leaves(state["params"]))
+    import optax as _optax
+    adam_mu = state["opt_state"][0].mu if hasattr(state["opt_state"][0], "mu") else None
+    if adam_mu is not None:
+        assert len(jax.tree_util.tree_leaves(adam_mu)) == n_param_leaves
