@@ -121,7 +121,7 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
     )
 
     sample = next(synthetic_batches(cfg))
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         image=jnp.asarray(sample["image"]),
         text=jnp.asarray(sample["text"]),

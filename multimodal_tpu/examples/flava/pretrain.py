@@ -273,7 +273,9 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
     sample = next(synthetic_batches(cfg))
     b = cfg["data"]["batch_size"]
     n_patches = m["image_size"] // m["patch_size"]
-    params = model.init(
+    # jitted init: eager init of a 350M-param model over a remote-TPU
+    # link round-trips per op and takes minutes; one compiled program doesn't
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         image=jnp.asarray(sample["image"]),
         text=jnp.asarray(sample["text"]),
