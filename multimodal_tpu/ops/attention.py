@@ -19,10 +19,13 @@ import jax.numpy as jnp
 
 from multimodal_tpu.ops.flash_attention import DEFAULT_MASK_VALUE, flash_attention
 
-_FLASH_MIN_SEQ = 256  # below this, plain fused-XLA attention is faster to compile and run
-# flash only pays off once the fp32 logits tensor would pressure HBM
-# (~1 GiB); below that XLA attention is ~2x faster on v5e (see bench above)
-_FLASH_MIN_LOGITS_BYTES = 1 << 30
+# Measured on v5e with cache-defeating chained timing
+# (scripts/bench_flash_sweep.py, round 3): the Pallas kernel beats fused XLA
+# from ~512 sequence up (1.1x at 512, 2.5-7x at 2k-4k with 1024 blocks) —
+# round 2's opposite conclusion came from re-timing identical calls, which
+# the remote runtime serves from cache. Below 512 the kernel's fixed
+# overheads and padding make XLA the better choice.
+_FLASH_MIN_SEQ = 512
 
 
 def _tpu_available() -> bool:
@@ -88,22 +91,13 @@ def scaled_dot_product_attention(
         mask_bias = jnp.where(mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
         bias = mask_bias if bias is None else bias + mask_bias
 
-    # Dispatch policy (measured on v5e, scripts/bench_flash.py): XLA's fused
-    # attention out-runs the Pallas flash kernel while the fp32 (sq, sk)
-    # logits fit comfortably in HBM (~10 vs ~4.5 TF/s at s=4096 — the
-    # official jax.experimental pallas flash kernel measures the same, so
-    # that's the Pallas ceiling here). Flash's win is MEMORY: it never
-    # materializes s^2, so it's the only option for long context. Switch on
-    # total logits footprint rather than a fixed sequence length.
-    batch_heads = 1
-    for dim in q.shape[:-2]:
-        batch_heads *= dim
-    logits_bytes = 4 * batch_heads * q.shape[-2] * k.shape[-2]
+    # Dispatch: flash from _FLASH_MIN_SEQ up (faster AND O(S) memory);
+    # fused XLA below, where the kernel's fixed overheads dominate.
     use_flash = (
         not return_probs
         and dropout_rate == 0.0
-        and logits_bytes >= _FLASH_MIN_LOGITS_BYTES
         and q.shape[-2] >= _FLASH_MIN_SEQ
+        and k.shape[-2] >= _FLASH_MIN_SEQ
         and _tpu_available()
     ) or bool(os.environ.get("MMTPU_FORCE_FLASH"))
 

@@ -29,6 +29,10 @@ differentiable in BOTH outputs — the building block for ring/context-parallel
 attention (``parallel/context_parallel.py``), where per-device partial
 results merge in lse space across ppermute steps.
 
+Block sizes default to 1024x1024 — measured fastest on v5e for d=64/128
+(2048 exceeds the 16M scoped-vmem limit; 512 leaves ~2x on the table at 4k
+sequence; scripts/bench_flash_sweep.py).
+
 Layout: ``q (B, H, Sq, D)``, ``k/v (B, H, Sk, D)``. Grids put the contracted
 sequence axis last with "arbitrary" semantics carrying running statistics /
 accumulators in VMEM scratch. LSE/delta ride as (B, H, Sq, 128) buffers
@@ -195,8 +199,8 @@ def flash_attention_forward(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     return_lse: bool = False,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
@@ -423,7 +427,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
-                    block_q=512, block_k=512,
+                    block_q=1024, block_k=1024,
                     q_segment_ids=None, kv_segment_ids=None,
                     dlse=None):
     """Blockwise dq/dk/dv: two Pallas kernels recomputing p from (q, k, lse).
