@@ -125,22 +125,25 @@ def main():
     pipeline_dt = (time.perf_counter() - t0) / args.steps
     pipeline_ips = args.batch / pipeline_dt
 
-    # ---- device-only: re-feed one already-sharded batch, chained steps
+    # ---- device-only: re-feed one already-sharded batch. Per-step host
+    # pulls + median: the remote runtime occasionally stalls ~minutes on a
+    # first execution (observed repeatedly), which would poison a
+    # single-pull chained timing; the median of individually-pulled steps
+    # after two discarded warm steps is robust to it.
     batch = next(iter(real_batches(cfg)))
     device_batch = trainer.shard_batch(batch)
     if trainer._step_fn is None:
         trainer._step_fn = trainer._build_step()
     rng = jax.random.PRNGKey(0)
+    times = []
     with jax.set_mesh(trainer.mesh):
-        state, _ = trainer._step_fn(state, device_batch, rng)  # settle
-        jax.block_until_ready(state["params"])
-        t0 = time.perf_counter()
-        n_dev = 10
-        for i in range(n_dev):
+        for i in range(12):
             rng, sub = jax.random.split(rng)
+            t0 = time.perf_counter()
             state, metrics = trainer._step_fn(state, device_batch, sub)
-        float(metrics["loss"])  # host pull closes the chain
-    device_dt = (time.perf_counter() - t0) / n_dev
+            float(metrics["loss"])
+            times.append(time.perf_counter() - t0)
+    device_dt = float(np.median(times[2:]))
     device_ips = args.batch / device_dt
 
     fwd = flava_fwd_flops_per_item(cfg["model"]["image_size"],
