@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.modules.layers.mlp import MLP
+from multimodal_tpu.modules.layers.moe import MoEFeedForward
 from multimodal_tpu.modules.layers.multi_head_attention import (
     MultiHeadAttentionWithCache,
     MultiHeadSelfAttention,
@@ -68,6 +69,10 @@ class TransformerEncoderLayer(nn.Module):
     norm_first: bool = False
     drop_path_rate: Optional[float] = None
     cp_axis_name: Optional[str] = None
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    ep_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -77,11 +82,21 @@ class TransformerEncoderLayer(nn.Module):
             cp_axis_name=self.cp_axis_name,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
-        self.feedforward = MLP(
-            self.d_model, self.d_model, self.dim_feedforward,
-            dropout=self.dropout, activation=self.activation,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-        )
+        if self.moe_num_experts:
+            self.feedforward = MoEFeedForward(
+                dim=self.d_model, hidden_dim=self.dim_feedforward,
+                num_experts=self.moe_num_experts,
+                num_experts_per_token=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                activation=self.activation, ep_axis_name=self.ep_axis_name,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+        else:
+            self.feedforward = MLP(
+                self.d_model, self.d_model, self.dim_feedforward,
+                dropout=self.dropout, activation=self.activation,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
         self.attention_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
         self.feedforward_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
         if self.drop_path_rate is not None:
@@ -144,6 +159,14 @@ class TransformerEncoder(nn.Module):
     drop_path_rate: Optional[float] = None
     remat: bool = False
     cp_axis_name: Optional[str] = None
+    # MoE: when moe_num_experts is set, every ``moe_interval``-th layer
+    # (GShard-style interleaving; 1 = all layers) swaps its dense MLP for a
+    # MoEFeedForward routed over ``ep_axis_name``.
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_interval: int = 2
+    ep_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -175,10 +198,18 @@ class TransformerEncoder(nn.Module):
         for i in range(self.n_layer):
             if return_hidden_states:
                 all_hidden_states.append(hidden_states)
+            is_moe = (
+                self.moe_num_experts is not None
+                and (i + 1) % self.moe_interval == 0
+            )
             out = layer_cls(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.activation, self.layer_norm_eps, self.norm_first,
                 drop_rates[i], cp_axis_name=self.cp_axis_name,
+                moe_num_experts=self.moe_num_experts if is_moe else None,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                ep_axis_name=self.ep_axis_name,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(hidden_states, attention_mask, deterministic, return_attn_weights)
@@ -217,6 +248,10 @@ class TransformerDecoderLayer(nn.Module):
     dim_kv: Optional[int] = None
     cp_axis_name: Optional[str] = None
     cp_layout: str = "contiguous"
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    ep_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -237,11 +272,21 @@ class TransformerDecoderLayer(nn.Module):
             self.cross_attention_layernorm = Fp32LayerNorm(
                 eps=self.layer_norm_eps, param_dtype=self.param_dtype
             )
-        self.feedforward = MLP(
-            self.d_model, self.d_model, self.dim_feedforward,
-            dropout=self.dropout, activation=self.activation,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-        )
+        if self.moe_num_experts:
+            self.feedforward = MoEFeedForward(
+                dim=self.d_model, hidden_dim=self.dim_feedforward,
+                num_experts=self.moe_num_experts,
+                num_experts_per_token=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                activation=self.activation, ep_axis_name=self.ep_axis_name,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+        else:
+            self.feedforward = MLP(
+                self.d_model, self.d_model, self.dim_feedforward,
+                dropout=self.dropout, activation=self.activation,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
         self.feedforward_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
         self.residual_dropout = nn.Dropout(self.dropout)
 
@@ -317,6 +362,11 @@ class TransformerDecoder(nn.Module):
     remat: bool = False
     cp_axis_name: Optional[str] = None
     cp_layout: str = "contiguous"
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_interval: int = 2
+    ep_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -340,11 +390,19 @@ class TransformerDecoder(nn.Module):
                 all_hidden_states.append(hidden_states)
             use_ca = self.use_cross_attention and i % self.cross_attention_interval == 0
             pkv = past_key_values[i] if past_key_values is not None else None
+            is_moe = (
+                self.moe_num_experts is not None
+                and (i + 1) % self.moe_interval == 0
+            )
             hidden_states, present_kv = TransformerDecoderLayer(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.activation, self.layer_norm_eps, self.norm_first,
                 use_ca, self.dim_kv, cp_axis_name=self.cp_axis_name,
                 cp_layout=self.cp_layout,
+                moe_num_experts=self.moe_num_experts if is_moe else None,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                ep_axis_name=self.ep_axis_name,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(

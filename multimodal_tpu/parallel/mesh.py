@@ -30,19 +30,23 @@ def create_mesh(
     fsdp: int = -1,
     tp: int = 1,
     cp: int = 1,
+    ep: int = 1,
+    pp: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
     axis_names: Optional[Tuple[str, ...]] = None,
 ) -> Mesh:
     """Create a Mesh over available devices.
 
-    Any one of dp/fsdp/tp/cp may be -1 to absorb the remaining devices.
-    Axes of size 1 are kept (they cost nothing and keep PartitionSpecs
-    uniform across configurations).
+    Any one of dp/fsdp/tp/cp/ep/pp may be -1 to absorb the remaining
+    devices. Axes of size 1 are dropped from the mesh unless they are in
+    the dp/fsdp/tp/cp core (kept for PartitionSpec uniformity across
+    existing configurations); the newer ep/pp axes only appear when used.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    sizes = {"dp": dp, "fsdp": fsdp, "tp": tp, "cp": cp}
+    order = ("dp", "fsdp", "tp", "cp", "ep", "pp")
+    sizes = {"dp": dp, "fsdp": fsdp, "tp": tp, "cp": cp, "ep": ep, "pp": pp}
     unknown = [k for k, v in sizes.items() if v == -1]
     if len(unknown) > 1:
         raise ValueError("only one axis may be -1")
@@ -54,8 +58,16 @@ def create_mesh(
     total = int(np.prod(list(sizes.values())))
     if total != n:
         raise ValueError(f"mesh {sizes} needs {total} devices, have {n}")
-    names = axis_names or ("dp", "fsdp", "tp", "cp")
-    shape = tuple(sizes[k] for k in ("dp", "fsdp", "tp", "cp"))
+    if axis_names is not None:
+        names = axis_names
+        kept = order[: len(names)]
+    else:
+        kept = tuple(
+            k for k in order
+            if k in ("dp", "fsdp", "tp", "cp") or sizes[k] > 1
+        )
+        names = kept
+    shape = tuple(sizes[k] for k in kept)
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, names)
 

@@ -49,6 +49,14 @@ _COLUMN_PARALLEL = (
 _ROW_PARALLEL = r"(out_proj|output_proj|linear2|out|fc2|wo|w2|down_proj|dense_out)"
 
 DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # MoE expert weights (MoEFeedForward): expert dim over ep, then the
+    # usual Megatron column/row split over tp within each expert. The
+    # router stays replicated so routing decisions agree everywhere.
+    (r"feedforward/wi$", P("ep", "fsdp", "tp")),
+    (r"feedforward/wo$", P("ep", "tp", "fsdp")),
+    (r"feedforward/bi$", P("ep", "tp")),
+    (r"feedforward/bo$", P("ep")),
+    (r"router/kernel$", P(None, None)),
     (rf"{_COLUMN_PARALLEL}/kernel$", P("fsdp", "tp")),
     (rf"{_ROW_PARALLEL}/kernel$", P("tp", "fsdp")),
     # column-parallel biases live on the tp-sharded output dim;
