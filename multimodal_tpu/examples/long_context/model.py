@@ -42,6 +42,14 @@ class LongContextLM(nn.Module):
     dim_feedforward: int = 3072
     dropout: float = 0.0
     cp_axis_name: Optional[str] = None
+    # MoE (expert parallelism): swap every ``moe_interval``-th layer's MLP
+    # for a routed MoEFeedForward sharded over ``ep_axis_name``. Composes
+    # with cp: attention rides the ring, experts ride the all-to-all.
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_interval: int = 2
+    ep_axis_name: Optional[str] = None
     remat: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -78,6 +86,11 @@ class LongContextLM(nn.Module):
             remat=self.remat,
             cp_axis_name=self.cp_axis_name,
             cp_layout="zigzag",
+            moe_num_experts=self.moe_num_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_interval=self.moe_interval,
+            ep_axis_name=self.ep_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",

@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from multimodal_tpu.examples.long_context.model import LongContextLM, next_token_loss
+from multimodal_tpu.modules.layers.moe import moe_aux_loss
 from multimodal_tpu.parallel.mesh import create_mesh
 from multimodal_tpu.training.trainer import Trainer
 
@@ -66,22 +67,34 @@ def build_trainer(
     weight_decay: float = 0.1,
     checkpoint_dir: Optional[str] = None,
     log_dir: Optional[str] = None,
+    strategy: str = "fsdp",
 ) -> Trainer:
     def loss_fn(params, batch, rng):
         inputs = batch["tokens"][:, :-1]
         targets = batch["tokens"][:, 1:]
-        logits = model.apply(
-            params, inputs, deterministic=False, rngs={"dropout": rng},
-        )
+        if model.moe_num_experts:
+            logits, inter = model.apply(
+                params, inputs, deterministic=False, rngs={"dropout": rng},
+                mutable=["intermediates"],
+            )
+            aux = moe_aux_loss(inter["intermediates"])
+        else:
+            logits = model.apply(
+                params, inputs, deterministic=False, rngs={"dropout": rng},
+            )
+            aux = 0.0
         loss = next_token_loss(logits, targets)
-        return loss, {"perplexity": jnp.exp(loss)}
+        metrics = {"perplexity": jnp.exp(loss)}
+        if model.moe_num_experts:
+            metrics["moe_aux"] = aux
+        return loss + aux, metrics
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(learning_rate, weight_decay=weight_decay),
     )
     return Trainer(
-        loss_fn, tx, strategy="fsdp", mesh=mesh,
+        loss_fn, tx, strategy=strategy, mesh=mesh,
         checkpoint_dir=checkpoint_dir, log_dir=log_dir,
         skip_nonfinite_updates=True,
     )
@@ -99,6 +112,11 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=-1)
     p.add_argument("--cp", type=int, default=1)
+    p.add_argument("--ep", type=int, default=1)
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="0 = dense; N = MoE with N experts")
+    p.add_argument("--moe-top-k", type=int, default=2)
+    p.add_argument("--moe-interval", type=int, default=2)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--bf16", action="store_true")
@@ -106,7 +124,7 @@ def main(argv=None):
     p.add_argument("--log-dir", default=None)
     args = p.parse_args(argv)
 
-    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=1, cp=args.cp)
+    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=1, cp=args.cp, ep=args.ep)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = LongContextLM(
         vocab_size=args.vocab_size,
@@ -116,6 +134,10 @@ def main(argv=None):
         n_head=args.n_head,
         dim_feedforward=4 * args.d_model,
         cp_axis_name="cp" if args.cp > 1 else None,
+        moe_num_experts=args.moe_experts or None,
+        moe_top_k=args.moe_top_k,
+        moe_interval=args.moe_interval,
+        ep_axis_name="ep" if args.ep > 1 else None,
         remat=True,
         dtype=dtype,
     )
@@ -132,6 +154,9 @@ def main(argv=None):
     trainer = build_trainer(
         model, mesh, learning_rate=args.lr,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
+        # the rule-based strategy shards expert tensors over ep (and falls
+        # back to fsdp for everything else); plain fsdp otherwise
+        strategy="tp" if args.ep > 1 else "fsdp",
     )
     with jax.set_mesh(mesh):
         params = jax.jit(model.init)(

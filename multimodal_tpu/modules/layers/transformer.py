@@ -383,6 +383,15 @@ class TransformerDecoder(nn.Module):
         return_hidden_states: bool = False,
         deterministic: bool = True,
     ) -> TransformerOutput:
+        layer_cls = TransformerDecoderLayer
+        if self.remat:
+            # args: (self)0, hidden1, enc_hidden2, attn_mask3, ca_mask4,
+            # pkv5, use_cache6, is_causal7, deterministic8
+            layer_cls = nn.remat(
+                TransformerDecoderLayer, static_argnums=(6, 7, 8),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+
         all_hidden_states: List[jnp.ndarray] = []
         current_key_values: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
         for i in range(self.n_layer):
@@ -394,7 +403,7 @@ class TransformerDecoder(nn.Module):
                 self.moe_num_experts is not None
                 and (i + 1) % self.moe_interval == 0
             )
-            hidden_states, present_kv = TransformerDecoderLayer(
+            hidden_states, present_kv = layer_cls(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.activation, self.layer_norm_eps, self.norm_first,
                 use_ca, self.dim_kv, cp_axis_name=self.cp_axis_name,
@@ -406,14 +415,15 @@ class TransformerDecoder(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(
+                # positional so remat's static_argnums can see the statics
                 hidden_states,
-                encoder_hidden_states=encoder_hidden_states,
-                attention_mask=attention_mask,
-                cross_attention_mask=cross_attention_mask,
-                past_key_value=pkv,
-                use_cache=use_cache,
-                is_causal=is_causal,
-                deterministic=deterministic,
+                encoder_hidden_states,
+                attention_mask,
+                cross_attention_mask,
+                pkv,
+                use_cache,
+                is_causal,
+                deterministic,
             )
             if use_cache and present_kv is not None:
                 current_key_values.append(present_kv)
