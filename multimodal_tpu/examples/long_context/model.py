@@ -55,16 +55,33 @@ class LongContextLM(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        deterministic: bool = True,
+        positions: Optional[jnp.ndarray] = None,
+        past_key_values=None,
+        cache_index: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        use_cache: bool = False,
+    ):
+        """Training/eval forward (defaults), or incremental decode when a
+        preallocated ``past_key_values`` + ``cache_index`` is given (the
+        serving engine's fixed-buffer path — ``serving/engine.py``).
+        ``positions`` ((b, s) int32) overrides the default ``arange``
+        position ids for slots sitting at heterogeneous offsets."""
         b, s = tokens.shape
+        if past_key_values is not None and self.cp_axis_name is not None:
+            raise ValueError("KV-cache decode does not compose with cp")
         x = nn.Embed(
             self.vocab_size, self.d_model, param_dtype=self.param_dtype,
             name="tok_embed",
         )(tokens).astype(self.dtype)
+        pos_ids = jnp.arange(s)[None, :] if positions is None else positions
         pos = nn.Embed(
             self.max_seq_len, self.d_model, param_dtype=self.param_dtype,
             name="pos_embed",
-        )(jnp.arange(s)[None, :]).astype(self.dtype)
+        )(pos_ids).astype(self.dtype)
         x = x + pos
 
         # positions are already attached -> safe to reorder the sequence into
@@ -94,16 +111,29 @@ class LongContextLM(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",
-        )(x, is_causal=True, deterministic=deterministic)
+        )(
+            x,
+            attention_mask=attention_mask,
+            past_key_values=past_key_values,
+            use_cache=use_cache,
+            # with an explicit mask (decode over a fixed buffer) causality is
+            # the caller's responsibility; plain forwards stay causal
+            is_causal=attention_mask is None,
+            deterministic=deterministic,
+            cache_index=cache_index,
+        )
         h = out.last_hidden_state
 
         if self.cp_axis_name is not None:
             h = unshard_sequence_for_cp(h, self.cp_axis_name, causal=True, seq_axis=1)
 
-        return nn.Dense(
+        logits = nn.Dense(
             self.vocab_size, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name="lm_head",
         )(h)
+        if use_cache:
+            return logits, out.current_key_values
+        return logits
 
 
 def next_token_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

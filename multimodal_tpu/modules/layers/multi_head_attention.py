@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -42,6 +43,34 @@ def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     b, h, s, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _write_fixed_cache(
+    past_key_value: Tuple[jnp.ndarray, jnp.ndarray],
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    cache_index: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Write ``(b, h, s_new, d)`` keys/values into a preallocated
+    ``(b, h, max_len, d)`` buffer at ``cache_index`` — scalar (same position
+    for every row) or a ``(b,)`` vector (per-row positions, continuous
+    batching)."""
+    cache_k, cache_v = past_key_value
+    idx = jnp.asarray(cache_index)
+    k_new = k_new.astype(cache_k.dtype)
+    v_new = v_new.astype(cache_v.dtype)
+    if idx.ndim == 0:
+        k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, idx, 0))
+        v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, idx, 0))
+    else:
+        # per-row start positions: a batched dynamic_update_slice (vmap over
+        # the slot axis) lowers to one scatter, no host loop
+        write = jax.vmap(
+            lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i, 0))
+        )
+        k = write(cache_k, k_new, idx)
+        v = write(cache_v, v_new, idx)
+    return k, v
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -136,8 +165,13 @@ class MultiHeadAttentionWithCache(nn.Module):
     ``dim_kv`` may differ from ``dim_q`` (cross-attention to another
     modality). When ``past_key_value`` is given, new keys/values are
     concatenated along the sequence axis and the updated cache is returned
-    (reference ``multi_head_attention.py:162-179``). For fixed-size scan
-    decoding prefer passing a preallocated cache and ``cache_index``.
+    (reference ``multi_head_attention.py:162-179``). When ``cache_index`` is
+    ALSO given, ``past_key_value`` is instead treated as a preallocated
+    fixed-size buffer and the new keys/values are written in place at that
+    index — a scalar writes every row at the same position (scan decode, see
+    ``utils/generate.py``); a ``(batch,)`` vector writes each row at its own
+    position (continuous-batching serving, where every slot sits at a
+    different sequence offset — see ``serving/engine.py``).
     """
 
     dim_q: int
@@ -161,6 +195,7 @@ class MultiHeadAttentionWithCache(nn.Module):
         is_causal: bool = False,
         use_cache: bool = False,
         deterministic: bool = True,
+        cache_index: Optional[jnp.ndarray] = None,
     ):
         dense = lambda d, name: nn.Dense(
             d, use_bias=self.add_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
@@ -170,8 +205,11 @@ class MultiHeadAttentionWithCache(nn.Module):
         v = _split_heads(dense(self.dim_q, "v_proj")(value), self.num_heads)
 
         if past_key_value is not None:
-            k = jnp.concatenate([past_key_value[0], k], axis=2)
-            v = jnp.concatenate([past_key_value[1], v], axis=2)
+            if cache_index is not None:
+                k, v = _write_fixed_cache(past_key_value, k, v, cache_index)
+            else:
+                k = jnp.concatenate([past_key_value[0], k], axis=2)
+                v = jnp.concatenate([past_key_value[1], v], axis=2)
 
         dropout_rng = None
         rate = self.dropout if not deterministic else 0.0

@@ -300,6 +300,7 @@ class TransformerDecoderLayer(nn.Module):
         use_cache: bool = False,
         is_causal: bool = False,
         deterministic: bool = True,
+        cache_index: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
         drop = lambda t: self.residual_dropout(t, deterministic=deterministic)
         x = hidden_states
@@ -310,6 +311,7 @@ class TransformerDecoderLayer(nn.Module):
                 inp, inp, inp, attn_mask=attention_mask,
                 past_key_value=past_key_value, is_causal=is_causal,
                 use_cache=use_cache, deterministic=deterministic,
+                cache_index=cache_index,
             )
             if use_cache:
                 return out.attn_output, out.past_key_value
@@ -382,6 +384,7 @@ class TransformerDecoder(nn.Module):
         is_causal: bool = False,
         return_hidden_states: bool = False,
         deterministic: bool = True,
+        cache_index: Optional[jnp.ndarray] = None,
     ) -> TransformerOutput:
         layer_cls = TransformerDecoderLayer
         if self.remat:
@@ -424,6 +427,7 @@ class TransformerDecoder(nn.Module):
                 use_cache,
                 is_causal,
                 deterministic,
+                cache_index,
             )
             if use_cache and present_kv is not None:
                 current_key_values.append(present_kv)

@@ -1,0 +1,192 @@
+"""Serving engine: fixed-buffer per-slot KV cache + continuous batching.
+
+The correctness bar: whatever interleaving of admissions, slot reuse, and
+lockstep decode ticks the engine runs, each request's greedy output must
+equal the output of a standalone full-forward greedy loop over the same
+params.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_tpu.examples.long_context.model import LongContextLM
+from multimodal_tpu.modules.layers.multi_head_attention import (
+    MultiHeadAttentionWithCache,
+)
+from multimodal_tpu.serving import EmbeddingServer, InferenceEngine, Request
+
+
+def _tiny_lm(max_seq_len=32, vocab=50):
+    model = LongContextLM(
+        vocab_size=vocab, max_seq_len=max_seq_len, n_layer=2, d_model=32,
+        n_head=2, dim_feedforward=64,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32)
+    )
+    return model, params
+
+
+def _ref_greedy(model, params, prompt, max_new, eos_id=None):
+    toks = list(prompt)
+    out = []
+    for _ in range(max_new):
+        logits = model.apply(params, jnp.asarray([toks], jnp.int32))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+        if eos_id is not None and nxt == eos_id:
+            break
+    return out
+
+
+def test_fixed_cache_write_matches_concat_decode():
+    """Scalar cache_index fixed-buffer decode == concat-cache decode == full
+    causal forward, token by token."""
+    mha = MultiHeadAttentionWithCache(dim_q=16, dim_kv=16, num_heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    params = mha.init(jax.random.PRNGKey(2), x, x, x)
+
+    full = mha.apply(params, x, x, x, is_causal=True)
+
+    max_len = 6
+    cache = (jnp.zeros((2, 2, max_len, 8)), jnp.zeros((2, 2, max_len, 8)))
+    outs = []
+    for t in range(6):
+        tok = x[:, t : t + 1]
+        mask = (jnp.arange(max_len) <= t)[None, None, None, :]
+        res = mha.apply(
+            params, tok, tok, tok, attn_mask=mask, past_key_value=cache,
+            use_cache=True, cache_index=jnp.asarray(t),
+        )
+        cache = res.past_key_value
+        assert cache[0].shape == (2, 2, max_len, 8)  # fixed size, not grown
+        outs.append(res.attn_output)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full), atol=1e-5
+    )
+
+
+def test_per_row_cache_index_writes_each_row_at_its_own_offset():
+    """A (batch,) cache_index vector scatters row b's kv at position idx[b]."""
+    mha = MultiHeadAttentionWithCache(dim_q=16, dim_kv=16, num_heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 1, 16))
+    params = mha.init(jax.random.PRNGKey(4), x, x, x)
+    cache = (jnp.zeros((3, 2, 8, 8)), jnp.zeros((3, 2, 8, 8)))
+    idx = jnp.asarray([0, 3, 7])
+    mask = (jnp.arange(8)[None, :] <= idx[:, None])[:, None, None, :]
+    res = mha.apply(
+        params, x, x, x, attn_mask=mask, past_key_value=cache,
+        use_cache=True, cache_index=idx,
+    )
+    k = np.asarray(res.past_key_value[0])
+    for b, i in enumerate([0, 3, 7]):
+        assert np.abs(k[b, :, i]).sum() > 0, f"row {b} not written at {i}"
+        untouched = [j for j in range(8) if j != i]
+        assert np.abs(k[b][:, untouched]).sum() == 0
+
+
+@pytest.mark.parametrize("decode_steps", [1, 3])
+def test_engine_greedy_matches_full_forward_mixed_lengths(decode_steps):
+    model, params = _tiny_lm()
+    engine = InferenceEngine(
+        model, params, n_slots=3, max_len=32, cache_dtype=jnp.float32,
+        decode_steps=decode_steps,
+    )
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9, 10], [11]]
+    for i, p in enumerate(prompts):
+        engine.submit(Request(p, max_new_tokens=6, request_id=i))
+    outs = {o.request_id: o for o in engine.run()}
+    assert len(outs) == 4
+    for i, p in enumerate(prompts):
+        expected = _ref_greedy(model, params, p, 6)
+        assert outs[i].tokens == expected, f"request {i}"
+        assert outs[i].finish_reason == "length"
+
+
+def test_engine_slot_reuse_more_requests_than_slots():
+    model, params = _tiny_lm()
+    engine = InferenceEngine(
+        model, params, n_slots=2, max_len=32, cache_dtype=jnp.float32,
+    )
+    prompts = [[i + 1, i + 2] for i in range(7)]
+    for i, p in enumerate(prompts):
+        engine.submit(Request(p, max_new_tokens=4, request_id=i))
+    outs = {o.request_id: o for o in engine.run()}
+    assert len(outs) == 7
+    for i, p in enumerate(prompts):
+        assert outs[i].tokens == _ref_greedy(model, params, p, 4)
+
+
+def test_engine_eos_frees_slot_early():
+    model, params = _tiny_lm()
+    # find the token the model emits greedily after [1, 2] and use it as eos
+    first = _ref_greedy(model, params, [1, 2], 1)[0]
+    engine = InferenceEngine(
+        model, params, n_slots=1, max_len=32, cache_dtype=jnp.float32,
+    )
+    engine.submit(Request([1, 2], max_new_tokens=8, eos_id=first, request_id=0))
+    engine.submit(Request([3, 4], max_new_tokens=2, request_id=1))
+    outs = {o.request_id: o for o in engine.run()}
+    assert outs[0].finish_reason == "eos"
+    assert outs[0].tokens == [first]
+    assert outs[1].tokens == _ref_greedy(model, params, [3, 4], 2)
+
+
+def test_engine_decode_ticks_are_batched():
+    """Continuous batching actually shares ticks: serving K same-length
+    requests together takes far fewer decode ticks than serially."""
+    model, params = _tiny_lm()
+    engine = InferenceEngine(
+        model, params, n_slots=4, max_len=32, cache_dtype=jnp.float32,
+        decode_steps=1,
+    )
+    for i in range(4):
+        engine.submit(Request([1, 2, 3], max_new_tokens=5, request_id=i))
+    engine.run()
+    # 4 requests x 5 tokens; first token comes from prefill, so 4 ticks of
+    # lockstep decode serve all four requests
+    assert engine.ticks == 4
+
+
+def test_engine_temperature_zero_vector_mixes_with_sampling():
+    """Greedy and sampling requests can share a tick; greedy rows stay
+    deterministic."""
+    model, params = _tiny_lm()
+    engine = InferenceEngine(
+        model, params, n_slots=2, max_len=32, cache_dtype=jnp.float32,
+        top_k=5, seed=7,
+    )
+    engine.submit(Request([1, 2, 3], max_new_tokens=5, request_id="greedy"))
+    engine.submit(
+        Request([4, 5, 6], max_new_tokens=5, temperature=1.0,
+                request_id="sampled")
+    )
+    outs = {o.request_id: o for o in engine.run()}
+    assert outs["greedy"].tokens == _ref_greedy(model, params, [1, 2, 3], 5)
+    assert len(outs["sampled"].tokens) == 5
+
+
+def test_engine_rejects_oversized_request():
+    model, params = _tiny_lm()
+    engine = InferenceEngine(model, params, n_slots=1, max_len=8)
+    with pytest.raises(ValueError):
+        engine.submit(Request([1, 2, 3, 4], max_new_tokens=5))
+
+
+def test_embedding_server_bucketing_matches_direct():
+    model, params = _tiny_lm()
+
+    def embed(p, tokens):
+        logits = model.apply(p, tokens)
+        return logits.mean(axis=1)
+
+    server = EmbeddingServer(embed, params, max_batch=8)
+    for n in (1, 3, 8, 17):
+        tokens = np.arange(n * 4, dtype=np.int32).reshape(n, 4) % 50
+        got = server.encode(tokens)
+        want = np.asarray(embed(params, jnp.asarray(tokens)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert got.shape[0] == n
