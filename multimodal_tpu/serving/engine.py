@@ -54,13 +54,19 @@ from multimodal_tpu.utils.generate import logits_filter_top_k
 
 @dataclass
 class Request:
-    """One generation request."""
+    """One generation request.
+
+    ``on_token(token_id)`` — optional streaming callback, invoked from the
+    host loop as each sampled token is collected (tokens stream out
+    mid-generation; a served client does not wait for completion).
+    """
 
     prompt: Sequence[int]
     max_new_tokens: int
     temperature: float = 0.0  # 0 = greedy
     eos_id: Optional[int] = None
     request_id: Optional[Any] = None
+    on_token: Optional[Any] = None
 
 
 @dataclass
@@ -296,6 +302,8 @@ class InferenceEngine:
         slot = self._slots[slot_id]
         req, out = slot.request, slot.output
         out.tokens.append(token)
+        if req.on_token is not None:
+            req.on_token(token)
         if req.eos_id is not None and token == req.eos_id:
             out.finish_reason = "eos"
         elif len(out.tokens) >= req.max_new_tokens:

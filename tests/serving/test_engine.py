@@ -190,3 +190,97 @@ def test_embedding_server_bucketing_matches_direct():
         want = np.asarray(embed(params, jnp.asarray(tokens)))
         np.testing.assert_allclose(got, want, atol=1e-6)
         assert got.shape[0] == n
+
+
+def test_engine_serves_tp_sharded_model():
+    """Production-scale serving: the engine drives a model whose weights are
+    tensor-parallel sharded over a tp mesh axis — GSPMD parallelizes the
+    decode tick; tokens match the unsharded engine."""
+    from multimodal_tpu.parallel.mesh import create_mesh
+    from multimodal_tpu.parallel.sharding import tp_sharding
+
+    model, params = _tiny_lm()
+    prompts = [[1, 2, 3], [4, 5]]
+
+    def run(engine):
+        for i, p in enumerate(prompts):
+            engine.submit(Request(p, max_new_tokens=6, request_id=i))
+        return {o.request_id: o.tokens for o in engine.run()}
+
+    want = run(InferenceEngine(
+        model, params, n_slots=2, max_len=32, cache_dtype=jnp.float32,
+    ))
+
+    mesh = create_mesh(dp=2, fsdp=1, tp=4)
+    shardings = tp_sharding(params, mesh, min_weight_size=0)
+    p_sharded = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    with jax.set_mesh(mesh):
+        got = run(InferenceEngine(
+            model, p_sharded, n_slots=2, max_len=32,
+            cache_dtype=jnp.float32,
+        ))
+    assert got == want
+
+
+def test_embedding_server_clip_vit_tower():
+    """The embedding server fronts a real CLIP ViT tower."""
+    from multimodal_tpu.models.clip.image_encoder import CLIPViTEncoder
+
+    encoder = CLIPViTEncoder(
+        image_size=32, patch_size=8, layers=2, heads=2, width=32,
+        embedding_dim=16,
+    )
+    images = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (11, 32, 32, 3))
+    )
+    params = encoder.init(jax.random.PRNGKey(1), jnp.asarray(images[:1]))
+
+    server = EmbeddingServer(
+        lambda p, x: encoder.apply(p, x), params, max_batch=4
+    )
+    got = server.encode(images)
+    want = np.asarray(encoder.apply(params, jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_engine_streaming_callback():
+    """on_token streams tokens out as they are collected."""
+    model, params = _tiny_lm()
+    engine = InferenceEngine(
+        model, params, n_slots=1, max_len=32, cache_dtype=jnp.float32,
+    )
+    streamed = []
+    engine.submit(
+        Request([1, 2, 3], max_new_tokens=5, on_token=streamed.append)
+    )
+    outs = engine.run()
+    assert streamed == outs[0].tokens == _ref_greedy(model, params, [1, 2, 3], 5)
+
+
+def test_engine_fuzz_random_schedule():
+    """Property test: whatever the arrival schedule, lengths, and slot
+    contention, every request's greedy output equals the standalone greedy
+    loop."""
+    rng = np.random.default_rng(0)
+    model, params = _tiny_lm()
+    engine = InferenceEngine(
+        model, params, n_slots=3, max_len=32, cache_dtype=jnp.float32,
+        decode_steps=2, prefill_batch=2,
+    )
+    reqs = []
+    for i in range(12):
+        plen = int(rng.integers(1, 9))
+        prompt = rng.integers(1, 50, plen).tolist()
+        reqs.append(Request(prompt, int(rng.integers(1, 7)), request_id=i))
+    # staggered arrivals: a few requests per engine step
+    pending = list(reqs)
+    while pending or any(not s.free for s in engine._slots) or engine._queue:
+        for _ in range(int(rng.integers(0, 3))):
+            if pending:
+                engine.submit(pending.pop())
+        engine.step()
+    outs = {o.request_id: o for o in engine._done}
+    assert len(outs) == 12
+    for r in reqs:
+        want = _ref_greedy(model, params, r.prompt, r.max_new_tokens)
+        assert outs[r.request_id].tokens == want, r.request_id
