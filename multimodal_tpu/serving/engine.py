@@ -59,6 +59,11 @@ class Request:
     ``on_token(token_id)`` — optional streaming callback, invoked from the
     host loop as each sampled token is collected (tokens stream out
     mid-generation; a served client does not wait for completion).
+
+    ``prefix`` — name of a prefix registered with
+    ``InferenceEngine.register_prefix``; its precomputed KV rows are copied
+    into the slot and only ``prompt`` (the suffix after the prefix) is
+    prefilled — the shared-system-prompt optimization.
     """
 
     prompt: Sequence[int]
@@ -67,6 +72,7 @@ class Request:
     eos_id: Optional[int] = None
     request_id: Optional[Any] = None
     on_token: Optional[Any] = None
+    prefix: Optional[str] = None
 
 
 @dataclass
@@ -162,8 +168,23 @@ class InferenceEngine:
         self._slots = [_Slot() for _ in range(n_slots)]
         self._queue: deque = deque()
         self._done: List[RequestOutput] = []
+        self._prefixes: dict = {}  # name -> (kv rows tuple, length)
         self._rng = jax.random.PRNGKey(seed)
         self.ticks = 0  # decode steps executed (for occupancy accounting)
+
+    def register_prefix(self, name: str, tokens: Sequence[int]) -> None:
+        """Precompute the KV rows of a shared prompt prefix (system prompt)
+        once; requests naming it skip recomputing those positions."""
+        tokens = np.asarray(tokens, np.int32)
+        if len(tokens) == 0:
+            raise ValueError("empty prefix")
+        _logits, kvs = self.model.apply(
+            self.params, jnp.asarray(tokens[None]), use_cache=True
+        )
+        self._prefixes[name] = (
+            jax.tree_util.tree_map(lambda x: x.astype(self.cache[0][0].dtype), kvs),
+            len(tokens),
+        )
 
     # ---------------------------------------------------------------- jitted
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
@@ -189,6 +210,46 @@ class InferenceEngine:
         )[:, 0]
         toks = self._sample(last, temperature, rng)
         return tuple(new), toks
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill_prefixed(
+        self, params, cache, prefix_kvs, plen, tokens, slots, lengths,
+        temperature, rng,
+    ):
+        """Prefill a batch of SUFFIX prompts on top of a precomputed prefix:
+        the prefix KV rows are broadcast into each row, the suffix forward
+        attends them through the valid-prefix mask and writes its own rows
+        at ``plen``, and the whole rows are scattered into the slots."""
+        b, bucket = tokens.shape
+        max_len = self.max_len
+        rows = tuple(
+            (
+                jnp.zeros((b,) + ck.shape[1:], ck.dtype)
+                .at[:, :, : pk.shape[2]].set(pk.astype(ck.dtype)),
+                jnp.zeros((b,) + cv.shape[1:], cv.dtype)
+                .at[:, :, : pv.shape[2]].set(pv.astype(cv.dtype)),
+            )
+            for (ck, cv), (pk, pv) in zip(cache, prefix_kvs)
+        )
+        positions = plen + jnp.arange(bucket)[None, :]
+        mask = (
+            jnp.arange(max_len)[None, None, None, :]
+            <= positions[:, None, :, None]
+        )
+        logits, new_rows = self.model.apply(
+            params, tokens, positions=jnp.broadcast_to(positions, (b, bucket)),
+            past_key_values=rows, cache_index=plen,
+            attention_mask=mask, use_cache=True,
+        )
+        new = tuple(
+            (ck.at[slots].set(rk), cv.at[slots].set(rv))
+            for (ck, cv), (rk, rv) in zip(cache, new_rows)
+        )
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]
+        toks = self._sample(last, temperature, rng)
+        return new, toks
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _decode(self, params, cache, tokens, positions, temperature, rng):
@@ -240,10 +301,16 @@ class InferenceEngine:
 
     # ----------------------------------------------------------------- host
     def submit(self, request: Request) -> None:
-        if len(request.prompt) + request.max_new_tokens > self.max_len:
+        plen = 0
+        if request.prefix is not None:
+            if request.prefix not in self._prefixes:
+                raise ValueError(f"unknown prefix {request.prefix!r}")
+            plen = self._prefixes[request.prefix][1]
+        if plen + len(request.prompt) + request.max_new_tokens > self.max_len:
             raise ValueError(
-                f"prompt({len(request.prompt)}) + max_new_tokens"
-                f"({request.max_new_tokens}) exceeds max_len({self.max_len})"
+                f"prefix({plen}) + prompt({len(request.prompt)}) + "
+                f"max_new_tokens({request.max_new_tokens}) exceeds "
+                f"max_len({self.max_len})"
             )
         if len(request.prompt) == 0:
             raise ValueError("empty prompt")
@@ -262,10 +329,13 @@ class InferenceEngine:
         groups: dict = {}
         for slot_id, req in pairs:
             bucket = _bucket(len(req.prompt), self.prefill_buckets)
-            groups.setdefault(bucket, []).append((slot_id, req))
+            groups.setdefault((bucket, req.prefix), []).append((slot_id, req))
 
         admitted = []
-        for bucket, items in groups.items():
+        for (bucket, prefix), items in groups.items():
+            pfx_kvs, plen = (
+                self._prefixes[prefix] if prefix is not None else (None, 0)
+            )
             for c in range(0, len(items), self.prefill_batch):
                 chunk = items[c : c + self.prefill_batch]
                 n = self.prefill_batch
@@ -281,14 +351,24 @@ class InferenceEngine:
                     temps[j] = req.temperature
                     slot = self._slots[slot_id]
                     slot.request = req
-                    slot.output = RequestOutput(req.request_id, len(prompt))
-                    slot.pos = len(prompt)
+                    slot.output = RequestOutput(
+                        req.request_id, plen + len(prompt)
+                    )
+                    slot.pos = plen + len(prompt)
                 self._rng, rng = jax.random.split(self._rng)
-                self.cache, firsts = self._prefill(
-                    self.params, self.cache, jnp.asarray(tokens),
-                    jnp.asarray(slots), jnp.asarray(lengths),
-                    jnp.asarray(temps), rng,
-                )
+                if prefix is None:
+                    self.cache, firsts = self._prefill(
+                        self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(slots), jnp.asarray(lengths),
+                        jnp.asarray(temps), rng,
+                    )
+                else:
+                    self.cache, firsts = self._prefill_prefixed(
+                        self.params, self.cache, pfx_kvs,
+                        jnp.asarray(plen, jnp.int32), jnp.asarray(tokens),
+                        jnp.asarray(slots), jnp.asarray(lengths),
+                        jnp.asarray(temps), rng,
+                    )
                 admitted.append((chunk, firsts))
         # pull first tokens only after every prefill is dispatched
         for chunk, firsts in admitted:

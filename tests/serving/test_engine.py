@@ -284,3 +284,37 @@ def test_engine_fuzz_random_schedule():
     for r in reqs:
         want = _ref_greedy(model, params, r.prompt, r.max_new_tokens)
         assert outs[r.request_id].tokens == want, r.request_id
+
+
+def test_engine_prefix_caching_matches_full_prompt():
+    """Requests sharing a registered prefix decode exactly as if the full
+    (prefix + suffix) prompt had been prefilled."""
+    model, params = _tiny_lm()
+    prefix = [9, 8, 7, 6]
+    engine = InferenceEngine(
+        model, params, n_slots=2, max_len=32, cache_dtype=jnp.float32,
+    )
+    engine.register_prefix("sys", prefix)
+    suffixes = [[1, 2, 3], [4, 5], [1]]
+    for i, s in enumerate(suffixes):
+        engine.submit(
+            Request(s, max_new_tokens=5, request_id=i, prefix="sys")
+        )
+    # a no-prefix request rides the same engine
+    engine.submit(Request([2, 2], max_new_tokens=5, request_id="plain"))
+    outs = {o.request_id: o for o in engine.run()}
+    for i, s in enumerate(suffixes):
+        want = _ref_greedy(model, params, prefix + s, 5)
+        assert outs[i].tokens == want, f"suffix {i}"
+        assert outs[i].prompt_len == len(prefix) + len(s)
+    assert outs["plain"].tokens == _ref_greedy(model, params, [2, 2], 5)
+
+
+def test_engine_prefix_validation():
+    model, params = _tiny_lm()
+    engine = InferenceEngine(model, params, n_slots=1, max_len=16)
+    with pytest.raises(ValueError):
+        engine.submit(Request([1], max_new_tokens=2, prefix="nope"))
+    engine.register_prefix("sys", [1] * 10)
+    with pytest.raises(ValueError):  # 10 + 3 + 5 > 16
+        engine.submit(Request([1, 2, 3], max_new_tokens=5, prefix="sys"))
