@@ -110,3 +110,39 @@ def test_lora_fold_matches_merge():
         logits = model.apply(folded, jnp.asarray([toks], jnp.int32))
         toks.append(int(jnp.argmax(logits[0, -1])))
     assert outs[0].tokens == toks[len(prompt_toks):]
+
+
+def test_lora_through_trainer():
+    """The generic Trainer fine-tunes a LoRA tree as its trainable params
+    (base weights frozen in the loss closure) over a dp mesh."""
+    from multimodal_tpu.parallel.mesh import create_mesh
+    from multimodal_tpu.training.trainer import Trainer
+
+    model, params = _lm()
+    lora = lora_init(jax.random.PRNGKey(1), params, rank=4, min_size=1)
+
+    def loss_fn(lora_params, batch, rng):
+        logits = model.apply(
+            lora_merge(params, lora_params), batch["tokens"][:, :-1]
+        )
+        loss = next_token_loss(logits, batch["tokens"][:, 1:])
+        return loss, {}
+
+    tokens = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(0), (8, 9), 0, 64)
+    )
+
+    def eval_loss(lora_params):
+        logits = model.apply(
+            lora_merge(params, lora_params), jnp.asarray(tokens[:, :-1])
+        )
+        return float(next_token_loss(logits, jnp.asarray(tokens[:, 1:])))
+
+    mesh = create_mesh(dp=8, fsdp=1)
+    trainer = Trainer(loss_fn, optax.adam(1e-2), strategy="ddp", mesh=mesh)
+    state = trainer.init_state(lora)
+    before = eval_loss(lora)
+    data = ({"tokens": tokens} for _ in range(15))
+    state = trainer.fit(state, data, num_steps=15)
+    after = eval_loss(jax.device_get(state["params"]))
+    assert after < before * 0.9, (before, after)
