@@ -223,6 +223,49 @@ def bench_train(model, params):
     return items_per_sec, step_time * 1e3, mfu, xla_cost_tflops
 
 
+def bench_serving():
+    """Continuous-batching decode throughput (serving engine, 12L/768 LM,
+    32 slots, mixed 16-64-token prompts, temperature+top-k sampling).
+    Guarded: returns (None, None) rather than failing the primary metric."""
+    try:
+        from multimodal_tpu.examples.long_context.model import LongContextLM
+        from multimodal_tpu.serving import InferenceEngine, Request
+
+        model = LongContextLM(
+            vocab_size=32768, max_seq_len=512, n_layer=12, d_model=768,
+            n_head=12, dim_feedforward=3072, dtype=jnp.bfloat16,
+            param_dtype=jnp.bfloat16,
+        )
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+        )
+        engine = InferenceEngine(
+            model, params, n_slots=32, max_len=512, prefill_buckets=[64],
+            decode_steps=16, top_k=50,
+        )
+        rng = np.random.default_rng(0)
+        # warmup compiles the (single) prefill bucket + the decode program
+        engine.submit(Request([1] * 48, max_new_tokens=2, temperature=1.0))
+        engine.run()
+        engine.ticks = 0
+        reqs = [
+            Request(
+                rng.integers(1, 32768, rng.integers(16, 65)).tolist(),
+                max_new_tokens=int(rng.integers(32, 97)), temperature=1.0,
+            )
+            for _ in range(64)
+        ]
+        for r in reqs:
+            engine.submit(r)
+        t0 = time.perf_counter()
+        outs = engine.run()
+        dt = time.perf_counter() - t0
+        produced = sum(len(o.tokens) for o in outs)
+        return produced / dt, dt / max(engine.ticks, 1) * 1e3
+    except Exception:
+        return None, None
+
+
 def main():
     model = clip_vit_b32(dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
@@ -235,6 +278,7 @@ def main():
     h2d_mbs = bench_h2d()
     train_ips, train_step_ms, mfu, xla_cost_tflops = bench_train(model, params)
     gemm_tflops = bench_gemm_ceiling()
+    serving_tok_s, serving_tick_ms = bench_serving()
     # end-to-end rate if every batch were re-shipped from host at the
     # measured H2D bandwidth, fully overlapped with compute
     bytes_per_pair = 256 * 256 * 3 + 77 * 4
@@ -263,6 +307,8 @@ def main():
         if xla_cost_tflops else None,
         "h2d_mbytes_per_sec": round(h2d_mbs, 1),
         "pairs_per_sec_with_h2d": round(e2e, 1),
+        "serving_tok_per_sec": round(serving_tok_s, 1) if serving_tok_s else None,
+        "serving_ms_per_tick": round(serving_tick_ms, 2) if serving_tick_ms else None,
     }))
 
 

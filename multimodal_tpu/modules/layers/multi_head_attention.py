@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_tpu.ops.kv_cache import QuantizedKV, quantize_kv
 
 
 class MHAWithCacheOutput(NamedTuple):
@@ -57,20 +58,34 @@ def _write_fixed_cache(
     batching)."""
     cache_k, cache_v = past_key_value
     idx = jnp.asarray(cache_index)
-    k_new = k_new.astype(cache_k.dtype)
-    v_new = v_new.astype(cache_v.dtype)
-    if idx.ndim == 0:
-        k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, idx, 0))
-        v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, idx, 0))
-    else:
+
+    def write_one(cache, new):
+        if isinstance(cache, QuantizedKV):
+            # int8 cache: quantize the incoming rows at write time
+            q, scale = quantize_kv(new)
+            return QuantizedKV(
+                q=write_one(cache.q, q),
+                scale=_write_positions(cache.scale, scale, idx),
+            )
+        new = new.astype(cache.dtype)
+        if idx.ndim == 0:
+            return jax.lax.dynamic_update_slice(cache, new, (0, 0, idx, 0))
         # per-row start positions: a batched dynamic_update_slice (vmap over
         # the slot axis) lowers to one scatter, no host loop
-        write = jax.vmap(
+        return jax.vmap(
             lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i, 0))
-        )
-        k = write(cache_k, k_new, idx)
-        v = write(cache_v, v_new, idx)
-    return k, v
+        )(cache, new, idx)
+
+    return write_one(cache_k, k_new), write_one(cache_v, v_new)
+
+
+def _write_positions(cache, new, idx):
+    """Like the kv write but for per-position scale tensors (b, h, L)."""
+    if idx.ndim == 0:
+        return jax.lax.dynamic_update_slice(cache, new, (0, 0, idx))
+    return jax.vmap(
+        lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i))
+    )(cache, new, idx)
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -204,12 +219,38 @@ class MultiHeadAttentionWithCache(nn.Module):
         k = _split_heads(dense(self.dim_q, "k_proj")(key), self.num_heads)
         v = _split_heads(dense(self.dim_q, "v_proj")(value), self.num_heads)
 
+        cache_out: Optional[Tuple[Any, Any]] = None
+        quantized_attn = None
         if past_key_value is not None:
             if cache_index is not None:
-                k, v = _write_fixed_cache(past_key_value, k, v, cache_index)
+                ck, cv = _write_fixed_cache(past_key_value, k, v, cache_index)
+                cache_out = (ck, cv)
+                if isinstance(ck, QuantizedKV):
+                    from multimodal_tpu.ops.quantized_attention import (
+                        quantized_cache_attention,
+                        supports_quantized_attention,
+                    )
+
+                    rate_now = self.dropout if not deterministic else 0.0
+                    if supports_quantized_attention(q, attn_mask, rate_now):
+                        # Pallas kernel: dequantize in VMEM so HBM reads stay
+                        # int8 (XLA would materialize the dense cache)
+                        quantized_attn = quantized_cache_attention(
+                            q, ck, cv, attn_mask
+                        )
+                    else:
+                        k = ck.dequantize(k.dtype)
+                        v = cv.dequantize(v.dtype)
+                else:
+                    k, v = ck, cv
             else:
                 k = jnp.concatenate([past_key_value[0], k], axis=2)
                 v = jnp.concatenate([past_key_value[1], v], axis=2)
+        if quantized_attn is not None:
+            out = dense(self.dim_q, "output_proj")(_merge_heads(quantized_attn))
+            if use_cache:
+                return MHAWithCacheOutput(out, cache_out)
+            return out
 
         dropout_rng = None
         rate = self.dropout if not deterministic else 0.0
@@ -243,5 +284,7 @@ class MultiHeadAttentionWithCache(nn.Module):
         )
         out = dense(self.dim_q, "output_proj")(_merge_heads(attn))
         if use_cache:
-            return MHAWithCacheOutput(out, (k, v))
+            return MHAWithCacheOutput(
+                out, cache_out if cache_out is not None else (k, v)
+            )
         return out

@@ -1,9 +1,12 @@
 from multimodal_tpu.serving.engine import InferenceEngine, Request, RequestOutput
 from multimodal_tpu.serving.embedding import EmbeddingServer
+from multimodal_tpu.serving.multi_lora import multi_lora_scope, stack_adapters
 
 __all__ = [
     "EmbeddingServer",
     "InferenceEngine",
     "Request",
     "RequestOutput",
+    "multi_lora_scope",
+    "stack_adapters",
 ]

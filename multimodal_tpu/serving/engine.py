@@ -49,7 +49,57 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multimodal_tpu.ops.kv_cache import (
+    QuantizedKV,
+    is_quantized_kv,
+    quantize_kv,
+    quantized_kv_zeros,
+)
+from multimodal_tpu.serving.multi_lora import (
+    build_adapter_table,
+    multi_lora_scope,
+)
 from multimodal_tpu.utils.generate import logits_filter_top_k
+
+
+def _kv_set_rows(cache, new, slots, bucket: int):
+    """Write ``new`` (b, h, bucket, d) into rows ``slots[: b]`` positions
+    ``[0, bucket)`` of a dense or int8 cache tensor."""
+    if is_quantized_kv(cache):
+        q, scale = quantize_kv(new)
+        return QuantizedKV(
+            q=cache.q.at[slots, :, :bucket].set(q),
+            scale=cache.scale.at[slots, :, :bucket].set(scale),
+        )
+    return cache.at[slots, :, :bucket].set(new.astype(cache.dtype))
+
+
+def _kv_rows_like(cache, b: int, prefix_kv, plen: int):
+    """Fresh (b, ...) rows in ``cache``'s format with ``prefix_kv``
+    (1, h, plen, d) broadcast into positions [0, plen)."""
+    if is_quantized_kv(cache):
+        shape = (b,) + cache.q.shape[1:]
+        q, scale = quantize_kv(prefix_kv)
+        return QuantizedKV(
+            q=jnp.zeros(shape, jnp.int8).at[:, :, :plen].set(q),
+            scale=jnp.zeros(shape[:-1], jnp.float32)
+            .at[:, :, :plen].set(scale),
+        )
+    return (
+        jnp.zeros((b,) + cache.shape[1:], cache.dtype)
+        .at[:, :, :plen].set(prefix_kv.astype(cache.dtype))
+    )
+
+
+def _kv_scatter_rows(cache, rows, slots):
+    """Overwrite whole rows ``slots`` of the cache with ``rows`` (same
+    format)."""
+    if is_quantized_kv(cache):
+        return QuantizedKV(
+            q=cache.q.at[slots].set(rows.q),
+            scale=cache.scale.at[slots].set(rows.scale),
+        )
+    return cache.at[slots].set(rows)
 
 
 @dataclass
@@ -64,6 +114,11 @@ class Request:
     ``InferenceEngine.register_prefix``; its precomputed KV rows are copied
     into the slot and only ``prompt`` (the suffix after the prefix) is
     prefilled — the shared-system-prompt optimization.
+
+    ``adapter`` — name of a LoRA adapter the engine was built with
+    (``adapters=``); this request's rows apply that adapter's factors in
+    every adapted matmul while sharing the batch with other adapters
+    (``serving/multi_lora.py``). ``None`` = the base model.
     """
 
     prompt: Sequence[int]
@@ -73,6 +128,7 @@ class Request:
     request_id: Optional[Any] = None
     on_token: Optional[Any] = None
     prefix: Optional[str] = None
+    adapter: Optional[str] = None
 
 
 @dataclass
@@ -90,6 +146,7 @@ class _Slot:
     # sequence position the NEXT decode tick writes (== tokens so far)
     pos: int = 0
     last_token: int = 0
+    adapter_id: int = 0
 
     @property
     def free(self) -> bool:
@@ -123,6 +180,10 @@ class InferenceEngine:
         prefill_batch: admissions prefilled together in one device call
             (same length bucket); padding rows land in a trash cache row.
         seed: sampling PRNG seed.
+        adapters: optional ``{name: lora_tree}`` of LoRA adapters
+            (``training/lora.py:lora_init`` trees over ``params``); they
+            stack into one resident factor table and requests select per
+            slot with ``Request(adapter=name)`` (``serving/multi_lora.py``).
     """
 
     def __init__(
@@ -140,6 +201,7 @@ class InferenceEngine:
         decode_steps: int = 8,
         prefill_batch: int = 8,
         seed: int = 0,
+        adapters: Optional[dict] = None,
     ):
         self.model = model
         self.params = params
@@ -161,49 +223,77 @@ class InferenceEngine:
         self.prefill_batch = prefill_batch
         # row n_slots is the trash row: batched-prefill padding writes there
         kv_shape = (n_slots + 1, n_head, max_len, head_dim)
-        self.cache = tuple(
-            (jnp.zeros(kv_shape, cache_dtype), jnp.zeros(kv_shape, cache_dtype))
-            for _ in range(n_layer)
-        )
+        if cache_dtype == "int8":
+            # int8 KV halves (vs bf16) the per-tick cache read — the decode
+            # bottleneck at batch (ops/kv_cache.py)
+            self.cache = tuple(
+                (quantized_kv_zeros(kv_shape), quantized_kv_zeros(kv_shape))
+                for _ in range(n_layer)
+            )
+        else:
+            self.cache = tuple(
+                (jnp.zeros(kv_shape, cache_dtype),
+                 jnp.zeros(kv_shape, cache_dtype))
+                for _ in range(n_layer)
+            )
         self._slots = [_Slot() for _ in range(n_slots)]
         self._queue: deque = deque()
         self._done: List[RequestOutput] = []
-        self._prefixes: dict = {}  # name -> (kv rows tuple, length)
+        self._prefixes: dict = {}  # name -> (kv rows tuple, length, adapter)
+        self._adapter_table, self._lora = build_adapter_table(adapters)
         self._rng = jax.random.PRNGKey(seed)
         self.ticks = 0  # decode steps executed (for occupancy accounting)
 
-    def register_prefix(self, name: str, tokens: Sequence[int]) -> None:
+    def _adapter_id(self, name: Optional[str]) -> int:
+        if name is None:
+            return 0
+        if self._adapter_table is None or name not in self._adapter_table:
+            raise ValueError(f"unknown adapter {name!r}")
+        return self._adapter_table[name]
+
+    def register_prefix(
+        self, name: str, tokens: Sequence[int],
+        adapter: Optional[str] = None,
+    ) -> None:
         """Precompute the KV rows of a shared prompt prefix (system prompt)
-        once; requests naming it skip recomputing those positions."""
+        once; requests naming it skip recomputing those positions. A prefix
+        computed with ``adapter`` is only valid for requests using that
+        same adapter (KV rows are adapter-dependent); ``submit`` enforces
+        the pairing."""
         tokens = np.asarray(tokens, np.int32)
         if len(tokens) == 0:
             raise ValueError("empty prefix")
-        _logits, kvs = self.model.apply(
-            self.params, jnp.asarray(tokens[None]), use_cache=True
-        )
-        self._prefixes[name] = (
-            jax.tree_util.tree_map(lambda x: x.astype(self.cache[0][0].dtype), kvs),
-            len(tokens),
-        )
+        aid = self._adapter_id(adapter)
+        with multi_lora_scope(
+            self._lora, jnp.full((1,), aid, jnp.int32)
+        ):
+            _logits, kvs = self.model.apply(
+                self.params, jnp.asarray(tokens[None]), use_cache=True
+            )
+        # kept in compute precision; _kv_rows_like converts (or quantizes)
+        # into the cache format at insert time
+        self._prefixes[name] = (kvs, len(tokens), adapter)
 
     # ---------------------------------------------------------------- jitted
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _prefill(self, params, cache, tokens, slots, lengths, temperature, rng):
+    def _prefill(self, params, cache, tokens, slots, lengths, temperature,
+                 rng, lora, adapter_ids):
         """Causal forward of a BATCH of padded prompts (one length bucket),
         each row's KV block-written into its slot; returns the updated cache
         and the first sampled token per row (from the logits at
         ``lengths - 1``). Batching admissions keeps prefill on the MXU's
         preferred shapes and pays one dispatch for up to ``prefill_batch``
         requests; padding rows carry slot id ``n_slots`` (the trash row)."""
-        logits, kvs = self.model.apply(
-            params, tokens, use_cache=True,
-        )
+        with multi_lora_scope(lora, adapter_ids):
+            logits, kvs = self.model.apply(
+                params, tokens, use_cache=True,
+            )
         bucket = tokens.shape[1]
         new = []
         for (ck, cv), (k, v) in zip(cache, kvs):
             new.append((
-                ck.at[slots, :, :bucket].set(k.astype(ck.dtype)),
-                cv.at[slots, :, :bucket].set(v.astype(cv.dtype)),
+                _kv_set_rows(ck, k, slots, bucket),
+                _kv_set_rows(cv, v, slots, bucket),
             ))
         last = jnp.take_along_axis(
             logits, (lengths - 1)[:, None, None], axis=1
@@ -214,7 +304,7 @@ class InferenceEngine:
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_prefixed(
         self, params, cache, prefix_kvs, plen, tokens, slots, lengths,
-        temperature, rng,
+        temperature, rng, lora, adapter_ids,
     ):
         """Prefill a batch of SUFFIX prompts on top of a precomputed prefix:
         the prefix KV rows are broadcast into each row, the suffix forward
@@ -224,10 +314,8 @@ class InferenceEngine:
         max_len = self.max_len
         rows = tuple(
             (
-                jnp.zeros((b,) + ck.shape[1:], ck.dtype)
-                .at[:, :, : pk.shape[2]].set(pk.astype(ck.dtype)),
-                jnp.zeros((b,) + cv.shape[1:], cv.dtype)
-                .at[:, :, : pv.shape[2]].set(pv.astype(cv.dtype)),
+                _kv_rows_like(ck, b, pk, pk.shape[2]),
+                _kv_rows_like(cv, b, pv, pv.shape[2]),
             )
             for (ck, cv), (pk, pv) in zip(cache, prefix_kvs)
         )
@@ -236,13 +324,15 @@ class InferenceEngine:
             jnp.arange(max_len)[None, None, None, :]
             <= positions[:, None, :, None]
         )
-        logits, new_rows = self.model.apply(
-            params, tokens, positions=jnp.broadcast_to(positions, (b, bucket)),
-            past_key_values=rows, cache_index=plen,
-            attention_mask=mask, use_cache=True,
-        )
+        with multi_lora_scope(lora, adapter_ids):
+            logits, new_rows = self.model.apply(
+                params, tokens,
+                positions=jnp.broadcast_to(positions, (b, bucket)),
+                past_key_values=rows, cache_index=plen,
+                attention_mask=mask, use_cache=True,
+            )
         new = tuple(
-            (ck.at[slots].set(rk), cv.at[slots].set(rv))
+            (_kv_scatter_rows(ck, rk, slots), _kv_scatter_rows(cv, rv, slots))
             for (ck, cv), (rk, rv) in zip(cache, new_rows)
         )
         last = jnp.take_along_axis(
@@ -252,7 +342,8 @@ class InferenceEngine:
         return new, toks
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _decode(self, params, cache, tokens, positions, temperature, rng):
+    def _decode(self, params, cache, tokens, positions, temperature, rng,
+                lora, adapter_ids):
         """``decode_steps`` lockstep decode ticks for every slot, fused into
         one device program (``lax.scan``): the host round-trip — which
         dominates tick time when the host link is thin — amortizes over
@@ -269,15 +360,16 @@ class InferenceEngine:
                 jnp.arange(self.max_len)[None, None, None, :]
                 <= pos[:, None, None, None]
             )
-            logits, cache = self.model.apply(
-                params,
-                tokens[:, None],
-                positions=pos[:, None],
-                past_key_values=cache,
-                cache_index=pos,
-                attention_mask=mask,
-                use_cache=True,
-            )
+            with multi_lora_scope(lora, adapter_ids):
+                logits, cache = self.model.apply(
+                    params,
+                    tokens[:, None],
+                    positions=pos[:, None],
+                    past_key_values=cache,
+                    cache_index=pos,
+                    attention_mask=mask,
+                    use_cache=True,
+                )
             next_tokens = self._sample(logits[:, 0], temperature, step_rng)
             return (next_tokens, positions + 1, cache), next_tokens
 
@@ -301,11 +393,19 @@ class InferenceEngine:
 
     # ----------------------------------------------------------------- host
     def submit(self, request: Request) -> None:
+        self._adapter_id(request.adapter)  # raises on unknown name
         plen = 0
         if request.prefix is not None:
             if request.prefix not in self._prefixes:
                 raise ValueError(f"unknown prefix {request.prefix!r}")
             plen = self._prefixes[request.prefix][1]
+            pfx_adapter = self._prefixes[request.prefix][2]
+            if pfx_adapter != request.adapter:
+                raise ValueError(
+                    f"prefix {request.prefix!r} was computed with adapter "
+                    f"{pfx_adapter!r}; request uses {request.adapter!r} "
+                    "(prefix KV rows are adapter-dependent)"
+                )
         if plen + len(request.prompt) + request.max_new_tokens > self.max_len:
             raise ValueError(
                 f"prefix({plen}) + prompt({len(request.prompt)}) + "
@@ -334,7 +434,8 @@ class InferenceEngine:
         admitted = []
         for (bucket, prefix), items in groups.items():
             pfx_kvs, plen = (
-                self._prefixes[prefix] if prefix is not None else (None, 0)
+                self._prefixes[prefix][:2] if prefix is not None
+                else (None, 0)
             )
             for c in range(0, len(items), self.prefill_batch):
                 chunk = items[c : c + self.prefill_batch]
@@ -343,31 +444,36 @@ class InferenceEngine:
                 slots = np.full(n, self.n_slots, np.int32)  # default: trash
                 lengths = np.ones(n, np.int32)
                 temps = np.zeros(n, np.float32)
+                adapter_ids = np.zeros(n, np.int32)
                 for j, (slot_id, req) in enumerate(chunk):
                     prompt = np.asarray(req.prompt, np.int32)
                     tokens[j, : len(prompt)] = prompt
                     slots[j] = slot_id
                     lengths[j] = len(prompt)
                     temps[j] = req.temperature
+                    adapter_ids[j] = self._adapter_id(req.adapter)
                     slot = self._slots[slot_id]
                     slot.request = req
                     slot.output = RequestOutput(
                         req.request_id, plen + len(prompt)
                     )
                     slot.pos = plen + len(prompt)
+                    slot.adapter_id = adapter_ids[j]
                 self._rng, rng = jax.random.split(self._rng)
                 if prefix is None:
                     self.cache, firsts = self._prefill(
                         self.params, self.cache, jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
-                        jnp.asarray(temps), rng,
+                        jnp.asarray(temps), rng, self._lora,
+                        jnp.asarray(adapter_ids),
                     )
                 else:
                     self.cache, firsts = self._prefill_prefixed(
                         self.params, self.cache, pfx_kvs,
                         jnp.asarray(plen, jnp.int32), jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
-                        jnp.asarray(temps), rng,
+                        jnp.asarray(temps), rng, self._lora,
+                        jnp.asarray(adapter_ids),
                     )
                 admitted.append((chunk, firsts))
         # pull first tokens only after every prefill is dispatched
@@ -405,15 +511,18 @@ class InferenceEngine:
         tokens = np.zeros(self.n_slots + 1, np.int32)
         positions = np.zeros(self.n_slots + 1, np.int32)
         temps = np.zeros(self.n_slots + 1, np.float32)
+        adapter_ids = np.zeros(self.n_slots + 1, np.int32)
         for i in live:
             s = self._slots[i]
             tokens[i] = s.last_token
             positions[i] = s.pos
             temps[i] = s.request.temperature
+            adapter_ids[i] = s.adapter_id
         self._rng, rng = jax.random.split(self._rng)
         step_tokens, self.cache = self._decode(
             self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(positions), jnp.asarray(temps), rng,
+            jnp.asarray(positions), jnp.asarray(temps), rng, self._lora,
+            jnp.asarray(adapter_ids),
         )
         step_tokens = np.asarray(step_tokens)  # (decode_steps, n_slots)
         self.ticks += self.decode_steps

@@ -82,13 +82,25 @@ def main():
         model, params, args.batch, args.steps, args.max_len, jnp.bfloat16,
         decode_steps=args.decode_steps,
     )
-    print(f"bf16 : {tok_s:8.0f} tok/s  {ms:6.2f} ms/tick")
+    print(f"bf16 weights, bf16 kv : {tok_s:8.0f} tok/s  {ms:6.2f} ms/tick")
     qtok_s, qms = bench(
         QuantizedModule(model), qparams, args.batch, args.steps,
         args.max_len, jnp.bfloat16, decode_steps=args.decode_steps,
     )
-    print(f"int8 : {qtok_s:8.0f} tok/s  {qms:6.2f} ms/tick  "
-          f"({qtok_s/tok_s:.2f}x)")
+    print(f"int8 weights, bf16 kv : {qtok_s:8.0f} tok/s  {qms:6.2f} ms/tick"
+          f"  ({qtok_s/tok_s:.2f}x)")
+    ktok_s, kms = bench(
+        model, params, args.batch, args.steps, args.max_len, "int8",
+        decode_steps=args.decode_steps,
+    )
+    print(f"bf16 weights, int8 kv : {ktok_s:8.0f} tok/s  {kms:6.2f} ms/tick"
+          f"  ({ktok_s/tok_s:.2f}x)")
+    btok_s, bms = bench(
+        QuantizedModule(model), qparams, args.batch, args.steps,
+        args.max_len, "int8", decode_steps=args.decode_steps,
+    )
+    print(f"int8 weights, int8 kv : {btok_s:8.0f} tok/s  {bms:6.2f} ms/tick"
+          f"  ({btok_s/tok_s:.2f}x)")
 
 
 if __name__ == "__main__":
