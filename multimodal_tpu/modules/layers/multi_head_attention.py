@@ -54,8 +54,11 @@ def _write_fixed_cache(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Write ``(b, h, s_new, d)`` keys/values into a preallocated
     ``(b, h, max_len, d)`` buffer at ``cache_index`` — scalar (same position
-    for every row) or a ``(b,)`` vector (per-row positions, continuous
-    batching)."""
+    for every row), a ``(b,)`` vector (per-row start positions, continuous
+    batching), or a ``(b, s_new)`` matrix (per-row PER-POSITION targets —
+    chunked prefill redirects a partial chunk's padding writes to a
+    sacrificial position instead of letting a contiguous-block write clamp
+    into, and corrupt, earlier cache entries)."""
     cache_k, cache_v = past_key_value
     idx = jnp.asarray(cache_index)
 
@@ -70,6 +73,11 @@ def _write_fixed_cache(
         new = new.astype(cache.dtype)
         if idx.ndim == 0:
             return jax.lax.dynamic_update_slice(cache, new, (0, 0, idx, 0))
+        if idx.ndim == 2:
+            # scatter each new position at its own target index
+            return jax.vmap(lambda c, n, i: c.at[:, i].set(n))(
+                cache, new, idx
+            )
         # per-row start positions: a batched dynamic_update_slice (vmap over
         # the slot axis) lowers to one scatter, no host loop
         return jax.vmap(
@@ -83,6 +91,8 @@ def _write_positions(cache, new, idx):
     """Like the kv write but for per-position scale tensors (b, h, L)."""
     if idx.ndim == 0:
         return jax.lax.dynamic_update_slice(cache, new, (0, 0, idx))
+    if idx.ndim == 2:
+        return jax.vmap(lambda c, n, i: c.at[:, i].set(n))(cache, new, idx)
     return jax.vmap(
         lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i))
     )(cache, new, idx)

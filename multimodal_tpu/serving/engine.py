@@ -102,6 +102,13 @@ def _kv_scatter_rows(cache, rows, slots):
     return cache.at[slots].set(rows)
 
 
+def _kv_gather_rows(cache, slots):
+    """Rows ``slots`` of a dense or int8 cache tensor (same format)."""
+    if is_quantized_kv(cache):
+        return QuantizedKV(q=cache.q[slots], scale=cache.scale[slots])
+    return cache[slots]
+
+
 @dataclass
 class Request:
     """One generation request.
@@ -184,6 +191,12 @@ class InferenceEngine:
             (``training/lora.py:lora_init`` trees over ``params``); they
             stack into one resident factor table and requests select per
             slot with ``Request(adapter=name)`` (``serving/multi_lora.py``).
+        prefill_chunk: when set, prompts longer than this prefill in
+            fixed-width chunks through ONE compiled program
+            (``_prefill_chunk``) instead of a per-bucket forward — compile
+            count and prefill activation memory stop depending on prompt
+            length. Chunked rows batch chunk-synchronously across
+            requests.
     """
 
     def __init__(
@@ -202,6 +215,7 @@ class InferenceEngine:
         prefill_batch: int = 8,
         seed: int = 0,
         adapters: Optional[dict] = None,
+        prefill_chunk: Optional[int] = None,
     ):
         self.model = model
         self.params = params
@@ -221,6 +235,7 @@ class InferenceEngine:
             ]
         self.prefill_buckets = sorted(prefill_buckets)
         self.prefill_batch = prefill_batch
+        self.prefill_chunk = prefill_chunk
         # row n_slots is the trash row: batched-prefill padding writes there
         kv_shape = (n_slots + 1, n_head, max_len, head_dim)
         if cache_dtype == "int8":
@@ -342,6 +357,74 @@ class InferenceEngine:
         return new, toks
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill_chunk(
+        self, params, cache, tokens, slots, starts, valids, temperature,
+        rng, lora, adapter_ids,
+    ):
+        """One fixed-width chunk of prompt for up to ``prefill_batch`` rows
+        (chunked prefill): each row's earlier chunks already live in its
+        slot, so the chunk forward attends them through the valid-prefix
+        mask and appends its own ``chunk`` positions. ONE compiled program
+        covers every prompt length — long prompts stop needing a
+        per-bucket compile, and prefill activation memory is bounded by
+        the chunk width instead of the prompt length.
+
+        A partial last chunk redirects its padding positions' KV writes to
+        the sacrificial ``max_len - 1`` index (never attended before it is
+        overwritten: the mask admits position p only from sequence position
+        p on, and the tick that reaches p overwrites p before attending).
+        Sampling: returns a token per row from the logits at
+        ``valids - 1``; the host uses it only for rows whose prompt ends
+        in this chunk."""
+        b, chunk = tokens.shape
+        max_len = self.max_len
+        rows = tuple(
+            (_kv_gather_rows(ck, slots), _kv_gather_rows(cv, slots))
+            for ck, cv in cache
+        )
+        offs = jnp.arange(chunk)[None, :]
+        positions = jnp.minimum(starts[:, None] + offs, max_len - 1)
+        # pad positions of a partial chunk write to max_len - 1 (see above)
+        write_idx = jnp.where(
+            offs < valids[:, None], positions, max_len - 1
+        )
+        mask = (
+            jnp.arange(max_len)[None, None, None, :]
+            <= positions[:, None, :, None]
+        )
+        with multi_lora_scope(lora, adapter_ids):
+            logits, new_rows = self.model.apply(
+                params, tokens, positions=positions,
+                past_key_values=rows, cache_index=write_idx,
+                attention_mask=mask, use_cache=True,
+            )
+        new = tuple(
+            (_kv_scatter_rows(ck, rk, slots), _kv_scatter_rows(cv, rv, slots))
+            for (ck, cv), (rk, rv) in zip(cache, new_rows)
+        )
+        last = jnp.take_along_axis(
+            logits, (valids - 1)[:, None, None], axis=1
+        )[:, 0]
+        toks = self._sample(last, temperature, rng)
+        return new, toks
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+    def _seed_prefix(self, cache, prefix_kvs, slots):
+        """Broadcast a registered prefix's KV rows into ``slots`` (chunked
+        prefill of prefixed requests seeds the slot, then chunks the
+        suffix)."""
+        b = slots.shape[0]
+        new = []
+        for (ck, cv), (pk, pv) in zip(cache, prefix_kvs):
+            rk = _kv_rows_like(ck, b, pk, pk.shape[2])
+            rv = _kv_rows_like(cv, b, pv, pv.shape[2])
+            new.append((
+                _kv_scatter_rows(ck, rk, slots),
+                _kv_scatter_rows(cv, rv, slots),
+            ))
+        return tuple(new)
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _decode(self, params, cache, tokens, positions, temperature, rng,
                 lora, adapter_ids):
         """``decode_steps`` lockstep decode ticks for every slot, fused into
@@ -426,6 +509,15 @@ class InferenceEngine:
                 pairs.append((slot_id, self._queue.popleft()))
         if not pairs:
             return
+        if self.prefill_chunk is not None:
+            chunked = [
+                p for p in pairs if len(p[1].prompt) > self.prefill_chunk
+            ]
+            pairs = [
+                p for p in pairs if len(p[1].prompt) <= self.prefill_chunk
+            ]
+            if chunked:
+                self._admit_chunked(chunked)
         groups: dict = {}
         for slot_id, req in pairs:
             bucket = _bucket(len(req.prompt), self.prefill_buckets)
@@ -482,6 +574,69 @@ class InferenceEngine:
             for j, (slot_id, _req) in enumerate(chunk):
                 self._slots[slot_id].last_token = int(firsts[j])
                 self._collect(slot_id, self._slots[slot_id].last_token)
+
+    def _admit_chunked(self, items) -> None:
+        """Prefill ``items`` (slot_id, request) in fixed-width chunks,
+        batching rows chunk-synchronously: every call advances up to
+        ``prefill_batch`` unfinished rows by one chunk."""
+        chunk = self.prefill_chunk
+        states = []
+        for slot_id, req in items:
+            plen = 0
+            if req.prefix is not None:
+                pfx_kvs, plen, _ = self._prefixes[req.prefix]
+                self.cache = self._seed_prefix(
+                    self.cache, pfx_kvs,
+                    jnp.asarray([slot_id], jnp.int32),
+                )
+            prompt = np.asarray(req.prompt, np.int32)
+            slot = self._slots[slot_id]
+            slot.request = req
+            slot.output = RequestOutput(req.request_id, plen + len(prompt))
+            slot.pos = plen + len(prompt)
+            slot.adapter_id = self._adapter_id(req.adapter)
+            states.append({
+                "slot": slot_id, "req": req, "prompt": prompt,
+                "plen": plen, "done": 0,
+            })
+        firsts: dict = {}
+        while True:
+            active = [
+                s for s in states if s["done"] < len(s["prompt"])
+            ][: self.prefill_batch]
+            if not active:
+                break
+            n = self.prefill_batch
+            tokens = np.zeros((n, chunk), np.int32)
+            slots = np.full(n, self.n_slots, np.int32)  # default: trash
+            starts = np.zeros(n, np.int32)
+            valids = np.ones(n, np.int32)
+            temps = np.zeros(n, np.float32)
+            adapter_ids = np.zeros(n, np.int32)
+            enders = []
+            for j, st in enumerate(active):
+                piece = st["prompt"][st["done"] : st["done"] + chunk]
+                tokens[j, : len(piece)] = piece
+                slots[j] = st["slot"]
+                starts[j] = st["plen"] + st["done"]
+                valids[j] = len(piece)
+                temps[j] = st["req"].temperature
+                adapter_ids[j] = self._slots[st["slot"]].adapter_id
+                st["done"] += len(piece)
+                if st["done"] >= len(st["prompt"]):
+                    enders.append((j, st["slot"]))
+            self._rng, rng = jax.random.split(self._rng)
+            self.cache, toks = self._prefill_chunk(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(slots), jnp.asarray(starts),
+                jnp.asarray(valids), jnp.asarray(temps), rng, self._lora,
+                jnp.asarray(adapter_ids),
+            )
+            for j, slot_id in enders:
+                firsts[slot_id] = toks[j]
+        for slot_id, tok in firsts.items():
+            self._slots[slot_id].last_token = int(tok)
+            self._collect(slot_id, self._slots[slot_id].last_token)
 
     def _collect(self, slot_id: int, token: int) -> None:
         """Record a sampled token; retire the slot on eos / length."""
