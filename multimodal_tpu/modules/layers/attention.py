@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.ops.attention import scaled_dot_product_attention as _sdpa
+from multimodal_tpu.ops.kv_cache import is_quantized_kv
 
 
 def split_multihead(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
@@ -167,16 +168,26 @@ class MultiHeadAttention(nn.Module):
 
         if past_key_value is not None:
             if cache_index is not None:
-                k_p = jax.lax.dynamic_update_slice(
-                    past_key_value[0], k_p, (0, 0, cache_index, 0)
+                # shared fixed-buffer write: scalar, per-row (b,), or
+                # per-position (b, s) indices — the same path the serving
+                # engine drives for continuous batching / chunked prefill
+                from multimodal_tpu.modules.layers.multi_head_attention import (
+                    _write_fixed_cache,
                 )
-                v_p = jax.lax.dynamic_update_slice(
-                    past_key_value[1], v_p, (0, 0, cache_index, 0)
+
+                k_p, v_p = _write_fixed_cache(
+                    past_key_value, k_p, v_p, cache_index
                 )
             else:
                 k_p = jnp.concatenate([past_key_value[0], k_p], axis=2)
                 v_p = jnp.concatenate([past_key_value[1], v_p], axis=2)
         present = (k_p, v_p)
+        if is_quantized_kv(k_p):
+            # int8 engine cache: this layer computes attention dequantized
+            # (no Pallas decode kernel for the n-dim stack); the cache
+            # itself stays int8
+            k_p = k_p.dequantize(q_p.dtype)
+            v_p = v_p.dequantize(q_p.dtype)
 
         attn_module = self.attn_module if self.attn_module is not None else SelfAttention()
         # Axial attention operates on unflattened latents.

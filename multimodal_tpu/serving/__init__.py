@@ -1,12 +1,18 @@
 from multimodal_tpu.serving.engine import InferenceEngine, Request, RequestOutput
 from multimodal_tpu.serving.embedding import EmbeddingServer
 from multimodal_tpu.serving.multi_lora import multi_lora_scope, stack_adapters
+from multimodal_tpu.serving.video_gpt_server import (
+    VideoGPTServer,
+    VideoGPTServingAdapter,
+)
 
 __all__ = [
     "EmbeddingServer",
     "InferenceEngine",
     "Request",
     "RequestOutput",
+    "VideoGPTServer",
+    "VideoGPTServingAdapter",
     "multi_lora_scope",
     "stack_adapters",
 ]
