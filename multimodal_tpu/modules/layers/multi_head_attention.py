@@ -242,7 +242,9 @@ class MultiHeadAttentionWithCache(nn.Module):
                     )
 
                     rate_now = self.dropout if not deterministic else 0.0
-                    if supports_quantized_attention(q, attn_mask, rate_now):
+                    if supports_quantized_attention(
+                        q, attn_mask, rate_now, is_causal
+                    ):
                         # Pallas kernel: dequantize in VMEM so HBM reads stay
                         # int8 (XLA would materialize the dense cache)
                         quantized_attn = quantized_cache_attention(

@@ -129,13 +129,25 @@ def quantized_cache_attention(
     return out[:, :, :S]
 
 
-def supports_quantized_attention(q, attn_mask, dropout_rate: float) -> bool:
-    """Kernel applicability: tiny query block, boolean head-broadcast mask,
-    no attention dropout, lane-aligned cache length."""
-    if dropout_rate > 0.0 or attn_mask is None:
+# per-(batch, head) program VMEM budget: int8 K+V (2·L·d) + their bf16
+# in-register copies (4·L·d) + f32 score rows — cap the cache block at 2 MB
+# so the worst case stays well inside the ~16 MB VMEM budget; larger
+# configs fall back to dequantize-into-XLA instead of failing to compile
+_MAX_BLOCK_BYTES = 2 * 1024 * 1024
+
+
+def supports_quantized_attention(
+    q, attn_mask, dropout_rate: float, is_causal: bool = False
+) -> bool:
+    """Kernel applicability: tiny query block, boolean head-broadcast mask
+    (sole mask — the kernel does not add causal masking), no attention
+    dropout, lane-aligned cache length, VMEM-sized cache block."""
+    if dropout_rate > 0.0 or attn_mask is None or is_causal:
         return False
     if attn_mask.dtype != jnp.bool_:
         return False
     if attn_mask.ndim != 4 or attn_mask.shape[1] != 1:
+        return False
+    if attn_mask.shape[-1] * q.shape[-1] > _MAX_BLOCK_BYTES:
         return False
     return q.shape[2] <= SUBLANES and attn_mask.shape[-1] % LANES == 0

@@ -109,6 +109,30 @@ def _kv_gather_rows(cache, slots):
     return cache[slots]
 
 
+def _kv_take_positions(rows, idx):
+    """Positions ``idx`` (b, C) of rows (b, h, L, d) -> (b, h, C, d)."""
+    if is_quantized_kv(rows):
+        return QuantizedKV(
+            q=_kv_take_positions(rows.q, idx),
+            scale=jax.vmap(lambda r, i: r[:, i])(rows.scale, idx),
+        )
+    return jax.vmap(lambda r, i: r[:, i])(rows, idx)
+
+
+def _kv_put_positions(cache, new, slots, idx):
+    """Scatter ``new`` (b, h, C, d) into ``cache`` (N, h, L, d) at rows
+    ``slots`` (b,), positions ``idx`` (b, C). The two advanced index arrays
+    land in front, so values transpose to (b, C, h, ...)."""
+    if is_quantized_kv(cache):
+        return QuantizedKV(
+            q=_kv_put_positions(cache.q, new.q, slots, idx),
+            scale=cache.scale.at[slots[:, None], :, idx].set(
+                new.scale.transpose(0, 2, 1)
+            ),
+        )
+    return cache.at[slots[:, None], :, idx].set(new.transpose(0, 2, 1, 3))
+
+
 @dataclass
 class Request:
     """One generation request.
@@ -154,10 +178,16 @@ class _Slot:
     pos: int = 0
     last_token: int = 0
     adapter_id: int = 0
+    # pending (tokens, start) prompt chunks; non-empty = still prefilling
+    chunks: Optional[deque] = None
 
     @property
     def free(self) -> bool:
         return self.request is None
+
+    @property
+    def prefilling(self) -> bool:
+        return self.chunks is not None and len(self.chunks) > 0
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -238,6 +268,15 @@ class InferenceEngine:
         self.prefill_chunk = prefill_chunk
         # row n_slots is the trash row: batched-prefill padding writes there
         kv_shape = (n_slots + 1, n_head, max_len, head_dim)
+        if cache_dtype != "int8" and np.issubdtype(
+            np.dtype(cache_dtype), np.integer
+        ):
+            # jnp.int8 etc. must not fall into the dense branch: astype
+            # would silently truncate activations to integers
+            raise ValueError(
+                f"integer cache_dtype {cache_dtype!r} — pass the string "
+                "'int8' for the quantized KV cache"
+            )
         if cache_dtype == "int8":
             # int8 KV halves (vs bf16) the per-tick cache read — the decode
             # bottleneck at batch (ops/kv_cache.py)
@@ -324,7 +363,14 @@ class InferenceEngine:
         """Prefill a batch of SUFFIX prompts on top of a precomputed prefix:
         the prefix KV rows are broadcast into each row, the suffix forward
         attends them through the valid-prefix mask and writes its own rows
-        at ``plen``, and the whole rows are scattered into the slots."""
+        from ``plen``, and the whole rows are scattered into the slots.
+
+        Writes are per-position (not a block write at ``plen``): when
+        ``plen + bucket > max_len`` a contiguous ``dynamic_update_slice``
+        would clamp its start backwards and overwrite prefix rows; instead
+        each padding position past the row's real prompt redirects to the
+        sacrificial ``max_len - 1`` index (overwritten before it is ever
+        attended)."""
         b, bucket = tokens.shape
         max_len = self.max_len
         rows = tuple(
@@ -334,7 +380,12 @@ class InferenceEngine:
             )
             for (ck, cv), (pk, pv) in zip(cache, prefix_kvs)
         )
-        positions = plen + jnp.arange(bucket)[None, :]
+        offs = jnp.arange(bucket)[None, :]
+        positions = jnp.minimum(plen + offs, max_len - 1)
+        write_idx = jnp.broadcast_to(
+            jnp.where(offs < lengths[:, None], positions, max_len - 1),
+            (b, bucket),
+        )
         mask = (
             jnp.arange(max_len)[None, None, None, :]
             <= positions[:, None, :, None]
@@ -343,7 +394,7 @@ class InferenceEngine:
             logits, new_rows = self.model.apply(
                 params, tokens,
                 positions=jnp.broadcast_to(positions, (b, bucket)),
-                past_key_values=rows, cache_index=plen,
+                past_key_values=rows, cache_index=write_idx,
                 attention_mask=mask, use_cache=True,
             )
         new = tuple(
@@ -398,8 +449,17 @@ class InferenceEngine:
                 past_key_values=rows, cache_index=write_idx,
                 attention_mask=mask, use_cache=True,
             )
+        # scatter back only this chunk's written span — a whole-row
+        # scatter would pay O(max_len) copy traffic per chunk
         new = tuple(
-            (_kv_scatter_rows(ck, rk, slots), _kv_scatter_rows(cv, rv, slots))
+            (
+                _kv_put_positions(
+                    ck, _kv_take_positions(rk, write_idx), slots, write_idx
+                ),
+                _kv_put_positions(
+                    cv, _kv_take_positions(rv, write_idx), slots, write_idx
+                ),
+            )
             for (ck, cv), (rk, rv) in zip(cache, new_rows)
         )
         last = jnp.take_along_axis(
@@ -576,11 +636,12 @@ class InferenceEngine:
                 self._collect(slot_id, self._slots[slot_id].last_token)
 
     def _admit_chunked(self, items) -> None:
-        """Prefill ``items`` (slot_id, request) in fixed-width chunks,
-        batching rows chunk-synchronously: every call advances up to
-        ``prefill_batch`` unfinished rows by one chunk."""
+        """Queue ``items`` (slot_id, request) for chunked prefill: the slot
+        is seeded (prefix rows) and its prompt split into fixed-width
+        chunks; ``_advance_chunks`` (called every ``step``) then advances every
+        prefilling slot ONE chunk per tick, so a long prompt never stalls
+        the decode of live slots for more than one chunk's latency."""
         chunk = self.prefill_chunk
-        states = []
         for slot_id, req in items:
             plen = 0
             if req.prefix is not None:
@@ -595,17 +656,21 @@ class InferenceEngine:
             slot.output = RequestOutput(req.request_id, plen + len(prompt))
             slot.pos = plen + len(prompt)
             slot.adapter_id = self._adapter_id(req.adapter)
-            states.append({
-                "slot": slot_id, "req": req, "prompt": prompt,
-                "plen": plen, "done": 0,
-            })
-        firsts: dict = {}
-        while True:
-            active = [
-                s for s in states if s["done"] < len(s["prompt"])
-            ][: self.prefill_batch]
-            if not active:
-                break
+            slot.chunks = deque(
+                (prompt[c : c + chunk], plen + c)
+                for c in range(0, len(prompt), chunk)
+            )
+
+    def _advance_chunks(self) -> None:
+        """Run one prompt chunk for every prefilling slot (batched in
+        groups of ``prefill_batch``); slots finishing their last chunk
+        sample their first token and go live for decode."""
+        chunk = self.prefill_chunk
+        prefilling = [
+            i for i, s in enumerate(self._slots) if s.prefilling
+        ]
+        for g in range(0, len(prefilling), self.prefill_batch):
+            group = prefilling[g : g + self.prefill_batch]
             n = self.prefill_batch
             tokens = np.zeros((n, chunk), np.int32)
             slots = np.full(n, self.n_slots, np.int32)  # default: trash
@@ -614,17 +679,17 @@ class InferenceEngine:
             temps = np.zeros(n, np.float32)
             adapter_ids = np.zeros(n, np.int32)
             enders = []
-            for j, st in enumerate(active):
-                piece = st["prompt"][st["done"] : st["done"] + chunk]
+            for j, slot_id in enumerate(group):
+                slot = self._slots[slot_id]
+                piece, start = slot.chunks.popleft()
                 tokens[j, : len(piece)] = piece
-                slots[j] = st["slot"]
-                starts[j] = st["plen"] + st["done"]
+                slots[j] = slot_id
+                starts[j] = start
                 valids[j] = len(piece)
-                temps[j] = st["req"].temperature
-                adapter_ids[j] = self._slots[st["slot"]].adapter_id
-                st["done"] += len(piece)
-                if st["done"] >= len(st["prompt"]):
-                    enders.append((j, st["slot"]))
+                temps[j] = slot.request.temperature
+                adapter_ids[j] = slot.adapter_id
+                if not slot.prefilling:  # that was the last chunk
+                    enders.append((j, slot_id))
             self._rng, rng = jax.random.split(self._rng)
             self.cache, toks = self._prefill_chunk(
                 self.params, self.cache, jnp.asarray(tokens),
@@ -633,10 +698,8 @@ class InferenceEngine:
                 jnp.asarray(adapter_ids),
             )
             for j, slot_id in enders:
-                firsts[slot_id] = toks[j]
-        for slot_id, tok in firsts.items():
-            self._slots[slot_id].last_token = int(tok)
-            self._collect(slot_id, self._slots[slot_id].last_token)
+                self._slots[slot_id].last_token = int(np.asarray(toks)[j])
+                self._collect(slot_id, self._slots[slot_id].last_token)
 
     def _collect(self, slot_id: int, token: int) -> None:
         """Record a sampled token; retire the slot on eos / length."""
@@ -655,16 +718,24 @@ class InferenceEngine:
         self._slots[slot_id] = _Slot()
 
     def step(self) -> int:
-        """Admit what fits, then run one fused ``decode_steps``-tick decode
-        call. Returns the number of live slots served."""
+        """Admit what fits, advance pending prompt chunks by one, then run
+        one fused ``decode_steps``-tick decode call. Returns the number of
+        live slots served."""
         self._admit()
-        live = [i for i, s in enumerate(self._slots) if not s.free]
+        if self.prefill_chunk is not None:
+            self._advance_chunks()
+        live = [
+            i for i, s in enumerate(self._slots)
+            if not s.free and not s.prefilling
+        ]
         if not live:
             return 0
         # n_slots + 1 rows: the trash row decodes too (idle garbage, <2%
-        # overhead) so the batch width matches the cache
+        # overhead) so the batch width matches the cache. Idle rows write
+        # their garbage at the sacrificial max_len-1 index — position 0
+        # would corrupt the first chunk of a mid-prefill slot
         tokens = np.zeros(self.n_slots + 1, np.int32)
-        positions = np.zeros(self.n_slots + 1, np.int32)
+        positions = np.full(self.n_slots + 1, self.max_len - 1, np.int32)
         temps = np.zeros(self.n_slots + 1, np.float32)
         adapter_ids = np.zeros(self.n_slots + 1, np.int32)
         for i in live:

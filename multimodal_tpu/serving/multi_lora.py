@@ -104,19 +104,29 @@ def _lookup(tree, path):
 
 
 @contextlib.contextmanager
-def multi_lora_scope(stacked, adapter_ids: jnp.ndarray):
+def multi_lora_scope(stacked, adapter_ids: jnp.ndarray, strict: bool = True):
     """Within this scope, every ``nn.Dense`` whose kernel is adapted in
     ``stacked`` adds its per-row LoRA update, selected by ``adapter_ids``
     (one id per leading-axis row). Use INSIDE jit, around ``model.apply``;
     both ``stacked`` and ``adapter_ids`` trace as ordinary arguments.
 
-    Rows whose leading dim doesn't match ``adapter_ids`` (e.g. a Dense
-    applied to a shared, batch-free tensor) pass through unadapted.
+    With ``strict`` (default), the scope raises on exit if any adapted
+    kernel in ``stacked`` was never applied — e.g. a kernel whose consumer
+    is not an ``nn.Dense``, or a Dense whose input's leading dim is not the
+    request batch. Without the check such factors would silently serve
+    base-model weights; narrow the ``lora_init`` ``targets`` to kernels the
+    interceptor can reach instead.
     """
     if stacked is None:
         yield
         return
     n_rows = adapter_ids.shape[0]
+    expected = {
+        "/".join(p)
+        for p, leaf in _tree_paths(stacked)
+        if isinstance(leaf, LoRAFactor)
+    }
+    consumed: set = set()
 
     def interceptor(next_fun, args, kwargs, context):
         if (
@@ -124,17 +134,18 @@ def multi_lora_scope(stacked, adapter_ids: jnp.ndarray):
             or context.method_name != "__call__"
         ):
             return next_fun(*args, **kwargs)
-        factor = _lookup(
-            stacked, ("params",) + context.module.path + ("kernel",)
-        )
+        path = ("params",) + context.module.path + ("kernel",)
+        factor = _lookup(stacked, path)
         if factor is None:
-            factor = _lookup(stacked, context.module.path + ("kernel",))
+            path = context.module.path + ("kernel",)
+            factor = _lookup(stacked, path)
         y = next_fun(*args, **kwargs)
         if not isinstance(factor, LoRAFactor):
             return y
         x = args[0]
         if x.ndim < 2 or x.shape[0] != n_rows:
             return y
+        consumed.add("/".join(path))
         rank = factor.a.shape[-1]
         a = factor.a[adapter_ids].astype(x.dtype)  # (rows, in, r)
         b = factor.b[adapter_ids].astype(x.dtype)  # (rows, r, out)
@@ -144,6 +155,14 @@ def multi_lora_scope(stacked, adapter_ids: jnp.ndarray):
 
     with nn.intercept_methods(interceptor):
         yield
+    if strict and consumed != expected:
+        missing = sorted(expected - consumed)
+        raise ValueError(
+            "multi-LoRA adapters for these kernels were never applied "
+            f"(unreachable from nn.Dense with a request-batch leading dim): "
+            f"{missing[:8]}{' ...' if len(missing) > 8 else ''} — narrow "
+            "lora_init(targets=...) to adaptable kernels"
+        )
 
 
 def build_adapter_table(adapters: Optional[Mapping[str, object]]):

@@ -94,3 +94,73 @@ def test_chunked_with_adapters():
         )
 
     assert run(prefill_chunk=8) == run()
+
+
+def test_prefix_bucket_overflow_does_not_corrupt():
+    """Regression (review finding): prefix_len + prompt bucket > max_len
+    used to clamp the suffix block write backwards over the prefix rows.
+    Per-position writes must keep the output identical to the full-prompt
+    path."""
+    model, params = _model_and_params(max_len=32)
+    prefix = list(range(1, 18))    # 17 tokens
+    prompt = list(range(20, 33))   # 13 tokens -> bucket 16; 17+16 > 32
+
+    engine = InferenceEngine(model, params, n_slots=2, max_len=32)
+    engine.register_prefix("sys", prefix)
+    engine.submit(Request(prompt, max_new_tokens=2, request_id=0,
+                          prefix="sys"))
+    got = engine.run()[0].tokens
+
+    full = InferenceEngine(model, params, n_slots=2, max_len=32)
+    full.submit(Request(prefix + prompt, max_new_tokens=2, request_id=0))
+    assert got == full.run()[0].tokens
+
+
+def test_int8_dtype_object_rejected():
+    """Regression (review finding): jnp.int8 used to silently truncate
+    activations via the dense branch; it must be rejected loudly."""
+    import pytest
+
+    model, params = _model_and_params()
+    with pytest.raises(ValueError, match="int8"):
+        InferenceEngine(model, params, n_slots=2, max_len=64,
+                        cache_dtype=jnp.int8)
+
+
+def test_chunked_interleaves_with_decode():
+    """A long prompt must not stall live slots: each step() advances the
+    prefilling slot one chunk while decode of live slots proceeds."""
+    model, params = _model_and_params(max_len=64)
+    engine = InferenceEngine(
+        model, params, n_slots=4, max_len=64, prefill_chunk=8,
+        decode_steps=1,
+    )
+    # short request becomes live immediately
+    engine.submit(Request([1, 2, 3], max_new_tokens=10, request_id="short"))
+    engine.step()
+    short_slot = next(s for s in engine._slots if not s.free)
+    # long request: 4 chunks of 8
+    engine.submit(Request(list(range(1, 33)), max_new_tokens=2,
+                          request_id="long"))
+    produced = []
+    for _ in range(3):
+        engine.step()
+        long_slot = next(
+            (s for s in engine._slots
+             if s.request is not None and s.request.request_id == "long"),
+            None,
+        )
+        produced.append(
+            (len(short_slot.output.tokens),
+             long_slot.prefilling if long_slot else False)
+        )
+    # the short request kept producing while the long one was mid-prefill
+    counts = [c for c, _ in produced]
+    assert counts[0] < counts[1] < counts[2]
+    assert produced[0][1] and produced[1][1]  # long still prefilling
+    outs = {o.request_id: o.tokens for o in engine.run()}
+    # and the interleaved long output still matches the bucketed engine
+    ref = InferenceEngine(model, params, n_slots=4, max_len=64)
+    ref.submit(Request(list(range(1, 33)), max_new_tokens=2,
+                       request_id="long"))
+    assert outs["long"] == ref.run()[0].tokens

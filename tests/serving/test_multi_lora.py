@@ -114,3 +114,21 @@ def test_unknown_adapter_rejected():
     engine = InferenceEngine(model, params, n_slots=2, max_len=32)
     with pytest.raises(ValueError):
         engine.submit(Request([1, 2], max_new_tokens=2, adapter="nope"))
+
+
+def test_unconsumed_adapter_raises():
+    """Regression (review finding): an adapted kernel the interceptor
+    cannot reach must raise, not silently serve base weights."""
+    from multimodal_tpu.serving.multi_lora import (
+        build_adapter_table,
+        multi_lora_scope,
+    )
+
+    model, params = _model_and_params()
+    _table, stacked = build_adapter_table({"a": _random_adapter(params, 1)})
+    x = jnp.zeros((3, 4), jnp.int32)
+    with pytest.raises(ValueError, match="never applied"):
+        # adapter_ids batch (2) mismatches the model batch (3): every
+        # factor is skipped and the scope must notice on exit
+        with multi_lora_scope(stacked, jnp.zeros((2,), jnp.int32)):
+            model.apply(params, x)
