@@ -1,5 +1,6 @@
 from multimodal_tpu.serving.engine import InferenceEngine, Request, RequestOutput
 from multimodal_tpu.serving.embedding import EmbeddingServer
+from multimodal_tpu.serving.http_server import ServingFrontend
 from multimodal_tpu.serving.multi_lora import multi_lora_scope, stack_adapters
 from multimodal_tpu.serving.video_gpt_server import (
     VideoGPTServer,
@@ -11,6 +12,7 @@ __all__ = [
     "InferenceEngine",
     "Request",
     "RequestOutput",
+    "ServingFrontend",
     "VideoGPTServer",
     "VideoGPTServingAdapter",
     "multi_lora_scope",

@@ -40,6 +40,7 @@ cache_index=, attention_mask=, use_cache=True) -> (logits, kvs)``.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
@@ -160,6 +161,8 @@ class Request:
     on_token: Optional[Any] = None
     prefix: Optional[str] = None
     adapter: Optional[str] = None
+    # called once with the finished RequestOutput when the slot retires
+    on_finish: Optional[Any] = None
 
 
 @dataclass
@@ -168,6 +171,15 @@ class RequestOutput:
     prompt_len: int
     tokens: List[int] = field(default_factory=list)
     finish_reason: str = ""  # "eos" | "length"
+    # latency breakdown (host wall-clock seconds; 0.0 until reached)
+    queue_time: float = 0.0    # submit -> admission
+    prefill_time: float = 0.0  # admission -> first token
+    decode_time: float = 0.0   # first token -> finish
+
+    @property
+    def decode_tokens_per_sec(self) -> float:
+        n = len(self.tokens) - 1
+        return n / self.decode_time if n > 0 and self.decode_time > 0 else 0.0
 
 
 @dataclass
@@ -180,6 +192,8 @@ class _Slot:
     adapter_id: int = 0
     # pending (tokens, start) prompt chunks; non-empty = still prefilling
     chunks: Optional[deque] = None
+    admit_t: float = 0.0
+    first_t: float = 0.0
 
     @property
     def free(self) -> bool:
@@ -297,6 +311,9 @@ class InferenceEngine:
         self._adapter_table, self._lora = build_adapter_table(adapters)
         self._rng = jax.random.PRNGKey(seed)
         self.ticks = 0  # decode steps executed (for occupancy accounting)
+        self._served_slot_ticks = 0  # live slots x ticks, for occupancy
+        self._finished = 0
+        self._tokens_out = 0
 
     def _adapter_id(self, name: Optional[str]) -> int:
         if name is None:
@@ -557,6 +574,7 @@ class InferenceEngine:
             )
         if len(request.prompt) == 0:
             raise ValueError("empty prompt")
+        request._submit_t = time.perf_counter()
         self._queue.append(request)
 
     def _admit(self) -> None:
@@ -609,6 +627,10 @@ class InferenceEngine:
                     slot.output = RequestOutput(
                         req.request_id, plen + len(prompt)
                     )
+                    slot.admit_t = time.perf_counter()
+                    slot.output.queue_time = slot.admit_t - getattr(
+                        req, "_submit_t", slot.admit_t
+                    )
                     slot.pos = plen + len(prompt)
                     slot.adapter_id = adapter_ids[j]
                 self._rng, rng = jax.random.split(self._rng)
@@ -654,6 +676,10 @@ class InferenceEngine:
             slot = self._slots[slot_id]
             slot.request = req
             slot.output = RequestOutput(req.request_id, plen + len(prompt))
+            slot.admit_t = time.perf_counter()
+            slot.output.queue_time = slot.admit_t - getattr(
+                req, "_submit_t", slot.admit_t
+            )
             slot.pos = plen + len(prompt)
             slot.adapter_id = self._adapter_id(req.adapter)
             slot.chunks = deque(
@@ -706,6 +732,10 @@ class InferenceEngine:
         slot = self._slots[slot_id]
         req, out = slot.request, slot.output
         out.tokens.append(token)
+        now = time.perf_counter()
+        if len(out.tokens) == 1:
+            slot.first_t = now
+            out.prefill_time = now - slot.admit_t
         if req.on_token is not None:
             req.on_token(token)
         if req.eos_id is not None and token == req.eos_id:
@@ -714,8 +744,13 @@ class InferenceEngine:
             out.finish_reason = "length"
         else:
             return
+        out.decode_time = now - slot.first_t
+        self._finished += 1
+        self._tokens_out += len(out.tokens)
         self._done.append(out)
         self._slots[slot_id] = _Slot()
+        if req.on_finish is not None:
+            req.on_finish(out)
 
     def step(self) -> int:
         """Admit what fits, advance pending prompt chunks by one, then run
@@ -752,6 +787,7 @@ class InferenceEngine:
         )
         step_tokens = np.asarray(step_tokens)  # (decode_steps, n_slots)
         self.ticks += self.decode_steps
+        self._served_slot_ticks += len(live) * self.decode_steps
         for i in live:
             for t in range(self.decode_steps):
                 s = self._slots[i]
@@ -769,3 +805,22 @@ class InferenceEngine:
             self.step()
         done, self._done = self._done, []
         return done
+
+    def stats(self) -> dict:
+        """Engine-lifetime serving counters: slot occupancy (served
+        slot-ticks over capacity), finished requests, emitted tokens, and
+        current queue/live depth."""
+        return {
+            "ticks": self.ticks,
+            "occupancy": (
+                self._served_slot_ticks / (self.ticks * self.n_slots)
+                if self.ticks else 0.0
+            ),
+            "requests_finished": self._finished,
+            "tokens_out": self._tokens_out,
+            "queue_depth": len(self._queue),
+            "live_slots": sum(
+                1 for s in self._slots if not s.free and not s.prefilling
+            ),
+            "prefilling_slots": sum(1 for s in self._slots if s.prefilling),
+        }
