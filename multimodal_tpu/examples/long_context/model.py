@@ -51,6 +51,11 @@ class LongContextLM(nn.Module):
     moe_interval: int = 2
     ep_axis_name: Optional[str] = None
     remat: bool = False
+    # "learned" absolute embeddings (positions < max_seq_len), or "rope" —
+    # rotary, applied per layer inside attention; positions are then
+    # unbounded, which the serving engine's sliding-window streaming mode
+    # (window=) requires
+    positional: str = "learned"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -78,11 +83,22 @@ class LongContextLM(nn.Module):
             name="tok_embed",
         )(tokens).astype(self.dtype)
         pos_ids = jnp.arange(s)[None, :] if positions is None else positions
-        pos = nn.Embed(
-            self.max_seq_len, self.d_model, param_dtype=self.param_dtype,
-            name="pos_embed",
-        )(pos_ids).astype(self.dtype)
-        x = x + pos
+        rope_positions = None
+        if self.positional == "rope":
+            if self.cp_axis_name is not None:
+                raise ValueError(
+                    "rope does not compose with cp yet (positions would "
+                    "need the zigzag split)"
+                )
+            rope_positions = jnp.broadcast_to(pos_ids, (b, s))
+        elif self.positional == "learned":
+            pos = nn.Embed(
+                self.max_seq_len, self.d_model, param_dtype=self.param_dtype,
+                name="pos_embed",
+            )(pos_ids).astype(self.dtype)
+            x = x + pos
+        else:
+            raise ValueError(f"unknown positional scheme {self.positional!r}")
 
         # positions are already attached -> safe to reorder the sequence into
         # the zigzag layout once; every layer's ring then runs balanced
@@ -121,6 +137,7 @@ class LongContextLM(nn.Module):
             is_causal=attention_mask is None,
             deterministic=deterministic,
             cache_index=cache_index,
+            rope_positions=rope_positions,
         )
         h = out.last_hidden_state
 

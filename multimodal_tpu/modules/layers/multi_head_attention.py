@@ -221,6 +221,7 @@ class MultiHeadAttentionWithCache(nn.Module):
         use_cache: bool = False,
         deterministic: bool = True,
         cache_index: Optional[jnp.ndarray] = None,
+        rope_positions: Optional[jnp.ndarray] = None,
     ):
         dense = lambda d, name: nn.Dense(
             d, use_bias=self.add_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
@@ -228,6 +229,15 @@ class MultiHeadAttentionWithCache(nn.Module):
         q = _split_heads(dense(self.dim_q, "q_proj")(query), self.num_heads)
         k = _split_heads(dense(self.dim_q, "k_proj")(key), self.num_heads)
         v = _split_heads(dense(self.dim_q, "v_proj")(value), self.num_heads)
+        if rope_positions is not None:
+            # rotate q and the NEW k rows by their token positions; cached
+            # k rows were rotated at their own write time — q·k then sees
+            # only relative offsets, so positions may grow without bound
+            # (the engine's sliding-window streaming mode relies on this)
+            from multimodal_tpu.ops.rotary import apply_rotary
+
+            q = apply_rotary(q, rope_positions)
+            k = apply_rotary(k, rope_positions)
 
         cache_out: Optional[Tuple[Any, Any]] = None
         quantized_attn = None

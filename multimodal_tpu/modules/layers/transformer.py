@@ -301,6 +301,7 @@ class TransformerDecoderLayer(nn.Module):
         is_causal: bool = False,
         deterministic: bool = True,
         cache_index: Optional[jnp.ndarray] = None,
+        rope_positions: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
         drop = lambda t: self.residual_dropout(t, deterministic=deterministic)
         x = hidden_states
@@ -311,7 +312,7 @@ class TransformerDecoderLayer(nn.Module):
                 inp, inp, inp, attn_mask=attention_mask,
                 past_key_value=past_key_value, is_causal=is_causal,
                 use_cache=use_cache, deterministic=deterministic,
-                cache_index=cache_index,
+                cache_index=cache_index, rope_positions=rope_positions,
             )
             if use_cache:
                 return out.attn_output, out.past_key_value
@@ -385,6 +386,7 @@ class TransformerDecoder(nn.Module):
         return_hidden_states: bool = False,
         deterministic: bool = True,
         cache_index: Optional[jnp.ndarray] = None,
+        rope_positions: Optional[jnp.ndarray] = None,
     ) -> TransformerOutput:
         layer_cls = TransformerDecoderLayer
         if self.remat:
@@ -428,6 +430,7 @@ class TransformerDecoder(nn.Module):
                 is_causal,
                 deterministic,
                 cache_index,
+                rope_positions,
             )
             if use_cache and present_kv is not None:
                 current_key_values.append(present_kv)

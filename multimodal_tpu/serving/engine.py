@@ -260,6 +260,8 @@ class InferenceEngine:
         seed: int = 0,
         adapters: Optional[dict] = None,
         prefill_chunk: Optional[int] = None,
+        window: Optional[int] = None,
+        sinks: int = 4,
     ):
         self.model = model
         self.params = params
@@ -267,21 +269,34 @@ class InferenceEngine:
         self.max_len = max_len
         self.top_k = top_k
         self.decode_steps = decode_steps
+        # sliding-window streaming (StreamingLLM-style): the per-slot cache
+        # becomes ``sinks`` pinned rows + a ``window``-slot ring buffer;
+        # decode positions grow without bound (unlimited generation length,
+        # constant memory), attending the sinks plus the last ``window``
+        # tokens. Requires a relative positional scheme in the model
+        # (rope; ops/rotary.py) — absolute embeddings would be read out of
+        # range. Prompts must fit the buffer (no wrap during prefill).
+        self.window = window
+        self.sinks = sinks if window is not None else 0
+        self.cache_len = (
+            self.sinks + window if window is not None else max_len
+        )
         n_layer = n_layer if n_layer is not None else model.n_layer
         n_head = n_head if n_head is not None else model.n_head
         head_dim = (
             head_dim if head_dim is not None else model.d_model // n_head
         )
         if prefill_buckets is None:
+            top = self.cache_len
             prefill_buckets = [
-                1 << p for p in range(int(np.ceil(np.log2(max_len))) + 1)
-                if (1 << p) <= max_len
+                1 << p for p in range(int(np.ceil(np.log2(top))) + 1)
+                if (1 << p) <= top
             ]
         self.prefill_buckets = sorted(prefill_buckets)
         self.prefill_batch = prefill_batch
         self.prefill_chunk = prefill_chunk
         # row n_slots is the trash row: batched-prefill padding writes there
-        kv_shape = (n_slots + 1, n_head, max_len, head_dim)
+        kv_shape = (n_slots + 1, n_head, self.cache_len, head_dim)
         if cache_dtype != "int8" and np.issubdtype(
             np.dtype(cache_dtype), np.integer
         ):
@@ -389,7 +404,7 @@ class InferenceEngine:
         sacrificial ``max_len - 1`` index (overwritten before it is ever
         attended)."""
         b, bucket = tokens.shape
-        max_len = self.max_len
+        max_len = self.cache_len
         rows = tuple(
             (
                 _kv_rows_like(ck, b, pk, pk.shape[2]),
@@ -445,7 +460,7 @@ class InferenceEngine:
         ``valids - 1``; the host uses it only for rows whose prompt ends
         in this chunk."""
         b, chunk = tokens.shape
-        max_len = self.max_len
+        max_len = self.cache_len
         rows = tuple(
             (_kv_gather_rows(ck, slots), _kv_gather_rows(cv, slots))
             for ck, cv in cache
@@ -502,8 +517,8 @@ class InferenceEngine:
         return tuple(new)
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _decode(self, params, cache, tokens, positions, temperature, rng,
-                lora, adapter_ids):
+    def _decode(self, params, cache, tokens, positions, advance, temperature,
+                rng, lora, adapter_ids):
         """``decode_steps`` lockstep decode ticks for every slot, fused into
         one device program (``lax.scan``): the host round-trip — which
         dominates tick time when the host link is thin — amortizes over
@@ -515,9 +530,23 @@ class InferenceEngine:
 
         def tick(carry, step_rng):
             tokens, positions, cache = carry
-            pos = jnp.minimum(positions, self.max_len - 1)
+            if self.window is not None:
+                # streaming: positions grow without bound; the write lands
+                # in the sinks region or the ring slot of the last
+                # ``window`` tokens, and once the buffer has filled every
+                # row is one of sinks + last-window — exactly the
+                # StreamingLLM attention set
+                pos = positions
+                write_idx = jnp.where(
+                    pos < self.sinks,
+                    pos,
+                    self.sinks + (pos - self.sinks) % self.window,
+                )
+            else:
+                pos = jnp.minimum(positions, self.cache_len - 1)
+                write_idx = pos
             mask = (
-                jnp.arange(self.max_len)[None, None, None, :]
+                jnp.arange(self.cache_len)[None, None, None, :]
                 <= pos[:, None, None, None]
             )
             with multi_lora_scope(lora, adapter_ids):
@@ -526,12 +555,14 @@ class InferenceEngine:
                     tokens[:, None],
                     positions=pos[:, None],
                     past_key_values=cache,
-                    cache_index=pos,
+                    cache_index=write_idx,
                     attention_mask=mask,
                     use_cache=True,
                 )
             next_tokens = self._sample(logits[:, 0], temperature, step_rng)
-            return (next_tokens, positions + 1, cache), next_tokens
+            # idle rows don't advance: their write target stays pinned at
+            # the sacrificial index instead of cycling through the ring
+            return (next_tokens, positions + advance, cache), next_tokens
 
         rngs = jax.random.split(rng, self.decode_steps)
         (_, _, cache), toks = jax.lax.scan(
@@ -566,7 +597,19 @@ class InferenceEngine:
                     f"{pfx_adapter!r}; request uses {request.adapter!r} "
                     "(prefix KV rows are adapter-dependent)"
                 )
-        if plen + len(request.prompt) + request.max_new_tokens > self.max_len:
+        if self.window is not None:
+            # streaming: generation length is unbounded; the prompt must
+            # fit the buffer without wrapping (and stay clear of the
+            # sacrificial last ring slot)
+            if plen + len(request.prompt) > self.cache_len - 1:
+                raise ValueError(
+                    f"prefix({plen}) + prompt({len(request.prompt)}) "
+                    f"exceeds the streaming buffer "
+                    f"(sinks {self.sinks} + window {self.window} - 1)"
+                )
+        elif (
+            plen + len(request.prompt) + request.max_new_tokens > self.max_len
+        ):
             raise ValueError(
                 f"prefix({plen}) + prompt({len(request.prompt)}) + "
                 f"max_new_tokens({request.max_new_tokens}) exceeds "
@@ -770,20 +813,22 @@ class InferenceEngine:
         # their garbage at the sacrificial max_len-1 index — position 0
         # would corrupt the first chunk of a mid-prefill slot
         tokens = np.zeros(self.n_slots + 1, np.int32)
-        positions = np.full(self.n_slots + 1, self.max_len - 1, np.int32)
+        positions = np.full(self.n_slots + 1, self.cache_len - 1, np.int32)
+        advance = np.zeros(self.n_slots + 1, np.int32)
         temps = np.zeros(self.n_slots + 1, np.float32)
         adapter_ids = np.zeros(self.n_slots + 1, np.int32)
         for i in live:
             s = self._slots[i]
             tokens[i] = s.last_token
             positions[i] = s.pos
+            advance[i] = 1
             temps[i] = s.request.temperature
             adapter_ids[i] = s.adapter_id
         self._rng, rng = jax.random.split(self._rng)
         step_tokens, self.cache = self._decode(
             self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(positions), jnp.asarray(temps), rng, self._lora,
-            jnp.asarray(adapter_ids),
+            jnp.asarray(positions), jnp.asarray(advance), jnp.asarray(temps),
+            rng, self._lora, jnp.asarray(adapter_ids),
         )
         step_tokens = np.asarray(step_tokens)  # (decode_steps, n_slots)
         self.ticks += self.decode_steps
