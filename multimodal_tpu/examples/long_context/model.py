@@ -50,6 +50,8 @@ class LongContextLM(nn.Module):
     moe_capacity_factor: float = 1.25
     moe_interval: int = 2
     ep_axis_name: Optional[str] = None
+    # grouped-query attention: kv heads cached/projected (None = n_head)
+    n_kv_head: Optional[int] = None
     remat: bool = False
     # "learned" absolute embeddings (positions < max_seq_len), or "rope" —
     # rotary, applied per layer inside attention; positions are then
@@ -124,6 +126,7 @@ class LongContextLM(nn.Module):
             moe_capacity_factor=self.moe_capacity_factor,
             moe_interval=self.moe_interval,
             ep_axis_name=self.ep_axis_name,
+            n_kv_head=self.n_kv_head,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="decoder",

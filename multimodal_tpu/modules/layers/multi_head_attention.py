@@ -206,6 +206,11 @@ class MultiHeadAttentionWithCache(nn.Module):
     add_bias: bool = True
     cp_axis_name: Optional[str] = None
     cp_layout: str = "contiguous"
+    # grouped-query attention: project (and CACHE) only this many kv heads,
+    # each shared by num_heads/num_kv_heads query heads — the KV cache (the
+    # serving memory/bandwidth bottleneck) shrinks by the group factor, and
+    # composes with the int8 cache. None = classic MHA.
+    num_kv_heads: Optional[int] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -226,9 +231,18 @@ class MultiHeadAttentionWithCache(nn.Module):
         dense = lambda d, name: nn.Dense(
             d, use_bias=self.add_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
+        kv_heads = self.num_kv_heads or self.num_heads
+        if self.num_heads % kv_heads:
+            raise ValueError(
+                f"num_heads {self.num_heads} not divisible by num_kv_heads "
+                f"{kv_heads}"
+            )
+        head_dim = self.dim_q // self.num_heads
         q = _split_heads(dense(self.dim_q, "q_proj")(query), self.num_heads)
-        k = _split_heads(dense(self.dim_q, "k_proj")(key), self.num_heads)
-        v = _split_heads(dense(self.dim_q, "v_proj")(value), self.num_heads)
+        k = _split_heads(dense(kv_heads * head_dim, "k_proj")(key), kv_heads)
+        v = _split_heads(
+            dense(kv_heads * head_dim, "v_proj")(value), kv_heads
+        )
         if rope_positions is not None:
             # rotate q and the NEW k rows by their token positions; cached
             # k rows were rotated at their own write time — q·k then sees
@@ -252,8 +266,10 @@ class MultiHeadAttentionWithCache(nn.Module):
                     )
 
                     rate_now = self.dropout if not deterministic else 0.0
-                    if supports_quantized_attention(
-                        q, attn_mask, rate_now, is_causal
+                    if kv_heads == self.num_heads and (
+                        supports_quantized_attention(
+                            q, attn_mask, rate_now, is_causal
+                        )
                     ):
                         # Pallas kernel: dequantize in VMEM so HBM reads stay
                         # int8 (XLA would materialize the dense cache)
@@ -278,6 +294,15 @@ class MultiHeadAttentionWithCache(nn.Module):
         rate = self.dropout if not deterministic else 0.0
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+
+        kv_present = (k, v)  # pre-broadcast kv (what a fresh cache stores)
+        if kv_heads != self.num_heads:
+            # broadcast each kv head to its query group for the compute;
+            # the cache (what actually lives in HBM between ticks) keeps
+            # only kv_heads rows
+            group = self.num_heads // kv_heads
+            k = jnp.repeat(k, group, axis=1)
+            v = jnp.repeat(v, group, axis=1)
 
         # Context-parallel path: training-shape SELF-attention only (the
         # decoder layer passes the same array as q/k/v; decode-time caching
@@ -307,6 +332,6 @@ class MultiHeadAttentionWithCache(nn.Module):
         out = dense(self.dim_q, "output_proj")(_merge_heads(attn))
         if use_cache:
             return MHAWithCacheOutput(
-                out, cache_out if cache_out is not None else (k, v)
+                out, cache_out if cache_out is not None else kv_present
             )
         return out

@@ -252,6 +252,7 @@ class TransformerDecoderLayer(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     ep_axis_name: Optional[str] = None
+    n_kv_head: Optional[int] = None  # grouped-query self-attention
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -260,7 +261,7 @@ class TransformerDecoderLayer(nn.Module):
         self.attention = MultiHeadAttentionWithCache(
             dim_q=self.d_model, dim_kv=self.d_model, num_heads=self.n_head,
             dropout=self.dropout, cp_axis_name=self.cp_axis_name,
-            cp_layout=self.cp_layout,
+            cp_layout=self.cp_layout, num_kv_heads=self.n_kv_head,
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
         self.attention_layernorm = Fp32LayerNorm(eps=self.layer_norm_eps, param_dtype=self.param_dtype)
@@ -370,6 +371,7 @@ class TransformerDecoder(nn.Module):
     moe_capacity_factor: float = 1.25
     moe_interval: int = 2
     ep_axis_name: Optional[str] = None
+    n_kv_head: Optional[int] = None  # grouped-query self-attention
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -417,6 +419,7 @@ class TransformerDecoder(nn.Module):
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis_name=self.ep_axis_name,
+                n_kv_head=self.n_kv_head,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(

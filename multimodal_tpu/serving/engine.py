@@ -282,9 +282,12 @@ class InferenceEngine:
             self.sinks + window if window is not None else max_len
         )
         n_layer = n_layer if n_layer is not None else model.n_layer
-        n_head = n_head if n_head is not None else model.n_head
+        # cache geometry: GQA models cache only their kv heads
+        if n_head is None:
+            n_head = getattr(model, "n_kv_head", None) or model.n_head
         head_dim = (
-            head_dim if head_dim is not None else model.d_model // n_head
+            head_dim if head_dim is not None
+            else model.d_model // model.n_head
         )
         if prefill_buckets is None:
             top = self.cache_len
