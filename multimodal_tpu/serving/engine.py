@@ -60,7 +60,7 @@ from multimodal_tpu.serving.multi_lora import (
     build_adapter_table,
     multi_lora_scope,
 )
-from multimodal_tpu.utils.generate import logits_filter_top_k
+from multimodal_tpu.utils.generate import filter_logits_per_row
 
 
 def _kv_set_rows(cache, new, slots, bucket: int):
@@ -156,6 +156,11 @@ class Request:
     prompt: Sequence[int]
     max_new_tokens: int
     temperature: float = 0.0  # 0 = greedy
+    # per-request sampling controls (None = the engine's defaults); both
+    # run on device, vectorized per slot (utils/generate.py
+    # filter_logits_per_row)
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     eos_id: Optional[int] = None
     request_id: Optional[Any] = None
     on_token: Optional[Any] = None
@@ -365,7 +370,7 @@ class InferenceEngine:
 
     # ---------------------------------------------------------------- jitted
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _prefill(self, params, cache, tokens, slots, lengths, temperature,
+    def _prefill(self, params, cache, tokens, slots, lengths, sampling,
                  rng, lora, adapter_ids):
         """Causal forward of a BATCH of padded prompts (one length bucket),
         each row's KV block-written into its slot; returns the updated cache
@@ -387,13 +392,13 @@ class InferenceEngine:
         last = jnp.take_along_axis(
             logits, (lengths - 1)[:, None, None], axis=1
         )[:, 0]
-        toks = self._sample(last, temperature, rng)
+        toks = self._sample(last, sampling, rng)
         return tuple(new), toks
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_prefixed(
         self, params, cache, prefix_kvs, plen, tokens, slots, lengths,
-        temperature, rng, lora, adapter_ids,
+        sampling, rng, lora, adapter_ids,
     ):
         """Prefill a batch of SUFFIX prompts on top of a precomputed prefix:
         the prefix KV rows are broadcast into each row, the suffix forward
@@ -439,12 +444,12 @@ class InferenceEngine:
         last = jnp.take_along_axis(
             logits, (lengths - 1)[:, None, None], axis=1
         )[:, 0]
-        toks = self._sample(last, temperature, rng)
+        toks = self._sample(last, sampling, rng)
         return new, toks
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_chunk(
-        self, params, cache, tokens, slots, starts, valids, temperature,
+        self, params, cache, tokens, slots, starts, valids, sampling,
         rng, lora, adapter_ids,
     ):
         """One fixed-width chunk of prompt for up to ``prefill_batch`` rows
@@ -500,7 +505,7 @@ class InferenceEngine:
         last = jnp.take_along_axis(
             logits, (valids - 1)[:, None, None], axis=1
         )[:, 0]
-        toks = self._sample(last, temperature, rng)
+        toks = self._sample(last, sampling, rng)
         return new, toks
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
@@ -520,7 +525,7 @@ class InferenceEngine:
         return tuple(new)
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _decode(self, params, cache, tokens, positions, advance, temperature,
+    def _decode(self, params, cache, tokens, positions, advance, sampling,
                 rng, lora, adapter_ids):
         """``decode_steps`` lockstep decode ticks for every slot, fused into
         one device program (``lax.scan``): the host round-trip — which
@@ -562,7 +567,7 @@ class InferenceEngine:
                     attention_mask=mask,
                     use_cache=True,
                 )
-            next_tokens = self._sample(logits[:, 0], temperature, step_rng)
+            next_tokens = self._sample(logits[:, 0], sampling, step_rng)
             # idle rows don't advance: their write target stays pinned at
             # the sacrificial index instead of cycling through the ring
             return (next_tokens, positions + advance, cache), next_tokens
@@ -573,17 +578,26 @@ class InferenceEngine:
         )
         return toks, cache  # toks: (decode_steps, n_slots)
 
-    def _sample(self, logits, temperature, rng):
-        """Greedy where temperature == 0, else temperature(+top-k) sampling."""
+    def _sample(self, logits, sampling, rng):
+        """Greedy where temperature == 0, else temperature sampling with
+        per-row top-k / nucleus filtering. ``sampling`` is (b, 3):
+        [temperature, top_k (0 = off), top_p (>= 1 = off)]."""
         logits = logits.astype(jnp.float32)
+        temperature = sampling[:, 0]
         greedy = jnp.argmax(logits, axis=-1)
-        filtered = (
-            logits_filter_top_k(logits, self.top_k)
-            if self.top_k else logits
+        filtered = filter_logits_per_row(
+            logits, sampling[:, 1].astype(jnp.int32), sampling[:, 2]
         )
         scaled = filtered / jnp.maximum(temperature, 1e-6)[:, None]
         sampled = jax.random.categorical(rng, scaled, axis=-1)
         return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+
+    def _sampling_row(self, req: Request):
+        """[temperature, top_k, top_p] for one request, engine defaults
+        filled in."""
+        k = req.top_k if req.top_k is not None else (self.top_k or 0)
+        p = req.top_p if req.top_p is not None else 1.0
+        return (req.temperature, float(k), float(p))
 
     # ----------------------------------------------------------------- host
     def submit(self, request: Request) -> None:
@@ -659,14 +673,15 @@ class InferenceEngine:
                 tokens = np.zeros((n, bucket), np.int32)
                 slots = np.full(n, self.n_slots, np.int32)  # default: trash
                 lengths = np.ones(n, np.int32)
-                temps = np.zeros(n, np.float32)
+                sampling = np.zeros((n, 3), np.float32)
+                sampling[:, 2] = 1.0
                 adapter_ids = np.zeros(n, np.int32)
                 for j, (slot_id, req) in enumerate(chunk):
                     prompt = np.asarray(req.prompt, np.int32)
                     tokens[j, : len(prompt)] = prompt
                     slots[j] = slot_id
                     lengths[j] = len(prompt)
-                    temps[j] = req.temperature
+                    sampling[j] = self._sampling_row(req)
                     adapter_ids[j] = self._adapter_id(req.adapter)
                     slot = self._slots[slot_id]
                     slot.request = req
@@ -684,7 +699,7 @@ class InferenceEngine:
                     self.cache, firsts = self._prefill(
                         self.params, self.cache, jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
-                        jnp.asarray(temps), rng, self._lora,
+                        jnp.asarray(sampling), rng, self._lora,
                         jnp.asarray(adapter_ids),
                     )
                 else:
@@ -692,7 +707,7 @@ class InferenceEngine:
                         self.params, self.cache, pfx_kvs,
                         jnp.asarray(plen, jnp.int32), jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
-                        jnp.asarray(temps), rng, self._lora,
+                        jnp.asarray(sampling), rng, self._lora,
                         jnp.asarray(adapter_ids),
                     )
                 admitted.append((chunk, firsts))
@@ -748,7 +763,8 @@ class InferenceEngine:
             slots = np.full(n, self.n_slots, np.int32)  # default: trash
             starts = np.zeros(n, np.int32)
             valids = np.ones(n, np.int32)
-            temps = np.zeros(n, np.float32)
+            sampling = np.zeros((n, 3), np.float32)
+            sampling[:, 2] = 1.0
             adapter_ids = np.zeros(n, np.int32)
             enders = []
             for j, slot_id in enumerate(group):
@@ -758,7 +774,7 @@ class InferenceEngine:
                 slots[j] = slot_id
                 starts[j] = start
                 valids[j] = len(piece)
-                temps[j] = slot.request.temperature
+                sampling[j] = self._sampling_row(slot.request)
                 adapter_ids[j] = slot.adapter_id
                 if not slot.prefilling:  # that was the last chunk
                     enders.append((j, slot_id))
@@ -766,7 +782,7 @@ class InferenceEngine:
             self.cache, toks = self._prefill_chunk(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(slots), jnp.asarray(starts),
-                jnp.asarray(valids), jnp.asarray(temps), rng, self._lora,
+                jnp.asarray(valids), jnp.asarray(sampling), rng, self._lora,
                 jnp.asarray(adapter_ids),
             )
             for j, slot_id in enders:
@@ -818,19 +834,20 @@ class InferenceEngine:
         tokens = np.zeros(self.n_slots + 1, np.int32)
         positions = np.full(self.n_slots + 1, self.cache_len - 1, np.int32)
         advance = np.zeros(self.n_slots + 1, np.int32)
-        temps = np.zeros(self.n_slots + 1, np.float32)
+        sampling = np.zeros((self.n_slots + 1, 3), np.float32)
+        sampling[:, 2] = 1.0
         adapter_ids = np.zeros(self.n_slots + 1, np.int32)
         for i in live:
             s = self._slots[i]
             tokens[i] = s.last_token
             positions[i] = s.pos
             advance[i] = 1
-            temps[i] = s.request.temperature
+            sampling[i] = self._sampling_row(s.request)
             adapter_ids[i] = s.adapter_id
         self._rng, rng = jax.random.split(self._rng)
         step_tokens, self.cache = self._decode(
             self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(positions), jnp.asarray(advance), jnp.asarray(temps),
+            jnp.asarray(positions), jnp.asarray(advance), jnp.asarray(sampling),
             rng, self._lora, jnp.asarray(adapter_ids),
         )
         step_tokens = np.asarray(step_tokens)  # (decode_steps, n_slots)

@@ -130,6 +130,12 @@ def _make_handler(dispatcher: EngineDispatcher):
                     prompt=[int(t) for t in body["prompt"]],
                     max_new_tokens=int(body.get("max_new_tokens", 16)),
                     temperature=float(body.get("temperature", 0.0)),
+                    top_k=(
+                        int(body["top_k"]) if "top_k" in body else None
+                    ),
+                    top_p=(
+                        float(body["top_p"]) if "top_p" in body else None
+                    ),
                     eos_id=body.get("eos_id"),
                     prefix=body.get("prefix"),
                     adapter=body.get("adapter"),

@@ -62,6 +62,33 @@ def logits_filter_top_p(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return jnp.where(logits >= threshold, logits, -jnp.inf)
 
 
+def filter_logits_per_row(
+    logits: jnp.ndarray, top_k: jnp.ndarray, top_p: jnp.ndarray
+) -> jnp.ndarray:
+    """Vectorized per-row top-k then nucleus filtering (continuous
+    batching: every slot carries its own sampling params), matching the
+    sequential semantics of ``_filter_logits``. ``top_k`` (b,) int32 with
+    0 = disabled; ``top_p`` (b,) float with >= 1.0 = disabled."""
+    v = logits.shape[-1]
+    sorted_desc = jnp.sort(logits, axis=-1)[..., ::-1]
+    k_eff = jnp.clip(top_k, 1, v)
+    kth = jnp.take_along_axis(sorted_desc, (k_eff - 1)[:, None], axis=-1)
+    k_masked = jnp.where(logits < kth, -jnp.inf, logits)
+    out = jnp.where((top_k > 0)[:, None], k_masked, logits)
+
+    # nucleus over the (possibly) k-filtered distribution — sequential,
+    # like applying logits_filter_top_k then logits_filter_top_p
+    sorted_out = jnp.sort(out, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_out, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[:, None]
+    threshold = jnp.min(
+        jnp.where(keep, sorted_out, jnp.inf), axis=-1, keepdims=True
+    )
+    p_masked = jnp.where(out >= threshold, out, -jnp.inf)
+    return jnp.where((top_p < 1.0)[:, None], p_masked, out)
+
+
 def _filter_logits(logits, top_k: Optional[int], top_p: Optional[float]):
     if top_k is not None:
         logits = logits_filter_top_k(logits, top_k)
