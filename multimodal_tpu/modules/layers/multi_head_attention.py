@@ -266,10 +266,9 @@ class MultiHeadAttentionWithCache(nn.Module):
                     )
 
                     rate_now = self.dropout if not deterministic else 0.0
-                    if kv_heads == self.num_heads and (
-                        supports_quantized_attention(
-                            q, attn_mask, rate_now, is_causal
-                        )
+                    if supports_quantized_attention(
+                        q, attn_mask, rate_now, is_causal,
+                        kv_heads=kv_heads,
                     ):
                         # Pallas kernel: dequantize in VMEM so HBM reads stay
                         # int8 (XLA would materialize the dense cache)

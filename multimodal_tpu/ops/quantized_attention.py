@@ -92,13 +92,23 @@ def quantized_cache_attention(
     Returns:
         ``(b, h, S, d)`` in ``q``'s dtype.
     """
-    b, h, S, d = q.shape
+    b, h_q, S, d = q.shape
+    h = k_cache.q.shape[1]
     L = k_cache.q.shape[2]
-    sp = -(-S // SUBLANES) * SUBLANES  # pad queries to full sublanes
+    mask = jnp.broadcast_to(mask, (b, 1, S, L))[:, 0]
+    if h_q != h:
+        # grouped-query attention: stack each kv head's query group into
+        # the sublane (row) dim — one program still serves one kv head,
+        # and the int8 cache block is read once for the whole group
+        group = h_q // h
+        q = q.reshape(b, h, group * S, d)
+        mask = jnp.broadcast_to(
+            mask[:, None], (b, group, S, L)
+        ).reshape(b, group * S, L)
+        S = group * S
+    sp = -(-S // SUBLANES) * SUBLANES  # pad query rows to full sublanes
     if sp != S:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sp - S), (0, 0)))
-    mask = jnp.broadcast_to(mask, (b, 1, S, L))[:, 0]
-    if sp != S:
         # padded query rows attend position 0 only (keeps softmax finite)
         pad_rows = jnp.zeros((b, sp - S, L), bool).at[:, :, 0].set(True)
         mask = jnp.concatenate([mask, pad_rows], axis=1)
@@ -126,7 +136,10 @@ def quantized_cache_attention(
         v_cache.scale[:, :, None, :],
         mask,
     )
-    return out[:, :, :S]
+    out = out[:, :, :S]
+    if h_q != h:
+        out = out.reshape(b, h_q, S // (h_q // h), d)
+    return out
 
 
 # per-(batch, head) program VMEM budget: int8 K+V (2·L·d) + their bf16
@@ -137,11 +150,13 @@ _MAX_BLOCK_BYTES = 2 * 1024 * 1024
 
 
 def supports_quantized_attention(
-    q, attn_mask, dropout_rate: float, is_causal: bool = False
+    q, attn_mask, dropout_rate: float, is_causal: bool = False,
+    kv_heads: int = 0,
 ) -> bool:
-    """Kernel applicability: tiny query block, boolean head-broadcast mask
-    (sole mask — the kernel does not add causal masking), no attention
-    dropout, lane-aligned cache length, VMEM-sized cache block."""
+    """Kernel applicability: tiny query block (a kv head's whole query
+    group must fit the sublanes), boolean head-broadcast mask (sole mask —
+    the kernel does not add causal masking), no attention dropout,
+    lane-aligned cache length, VMEM-sized cache block."""
     if dropout_rate > 0.0 or attn_mask is None or is_causal:
         return False
     if attn_mask.dtype != jnp.bool_:
@@ -150,4 +165,8 @@ def supports_quantized_attention(
         return False
     if attn_mask.shape[-1] * q.shape[-1] > _MAX_BLOCK_BYTES:
         return False
-    return q.shape[2] <= SUBLANES and attn_mask.shape[-1] % LANES == 0
+    group = q.shape[1] // kv_heads if kv_heads else 1
+    return (
+        group * q.shape[2] <= SUBLANES
+        and attn_mask.shape[-1] % LANES == 0
+    )

@@ -24,18 +24,29 @@ static-shape contract):
     keys/values are block-written into the slot row. Prefill runs when a
     request is admitted; decode of other slots continues next tick —
     admission never flushes the batch.
-  - Sampling happens on device (greedy / temperature, optional top-k), and
-    decode runs ``decode_steps`` ticks per host call (``lax.scan``
-    multi-step scheduling): only ``decode_steps x n_slots`` sampled token
-    ids cross back to the host per call, amortizing dispatch latency —
-    the difference between ~500 and ~4,000 tok/s when the host link is a
-    thin tunnel (scripts/bench_serving.py). Admission happens between
-    calls, so a larger ``decode_steps`` trades a little slot occupancy for
-    per-token overhead.
+  - Sampling happens on device (greedy / temperature with per-slot top-k
+    and nucleus vectors), and decode runs ``decode_steps`` ticks per host
+    call (``lax.scan`` multi-step scheduling): only
+    ``decode_steps x n_slots`` sampled token ids cross back to the host
+    per call, amortizing dispatch latency — the difference between ~500
+    and ~4,000 tok/s when the host link is a thin tunnel
+    (scripts/bench_serving.py). Admission happens between calls, so a
+    larger ``decode_steps`` trades a little slot occupancy for per-token
+    overhead.
+
+On top of that core loop: prefix caching (``register_prefix``), chunked
+prefill interleaved with decode (``prefill_chunk``), an int8 KV cache
+with a Pallas in-VMEM dequant decode kernel (``cache_dtype='int8'``),
+multi-LoRA batched adapters (``adapters=``), grouped-query caches (the
+model's ``n_kv_head``), unbounded sliding-window streaming
+(``window=``/``sinks=``), per-request latency stats, and an HTTP
+front-end (``serving/http_server.py``).
 
 The engine is generic over any flax module with the ``LongContextLM``
 decode surface: ``apply(params, tokens, positions=, past_key_values=,
-cache_index=, attention_mask=, use_cache=True) -> (logits, kvs)``.
+cache_index=, attention_mask=, use_cache=True) -> (logits, kvs)`` —
+``serving/video_gpt_server.py`` adapts the MUGEN/VideoGPT generator onto
+it.
 """
 
 from __future__ import annotations
@@ -281,6 +292,15 @@ class InferenceEngine:
         # tokens. Requires a relative positional scheme in the model
         # (rope; ops/rotary.py) — absolute embeddings would be read out of
         # range. Prompts must fit the buffer (no wrap during prefill).
+        if window is not None:
+            if window < 1:
+                raise ValueError(f"window must be >= 1, got {window}")
+            if getattr(model, "positional", None) == "learned":
+                raise ValueError(
+                    "sliding-window streaming needs a relative positional "
+                    "scheme (positions grow past max_seq_len) — build the "
+                    "model with positional='rope'"
+                )
         self.window = window
         self.sinks = sinks if window is not None else 0
         self.cache_len = (
@@ -292,7 +312,7 @@ class InferenceEngine:
             n_head = getattr(model, "n_kv_head", None) or model.n_head
         head_dim = (
             head_dim if head_dim is not None
-            else model.d_model // model.n_head
+            else model.d_model // getattr(model, "n_head", n_head)
         )
         if prefill_buckets is None:
             top = self.cache_len
@@ -524,9 +544,9 @@ class InferenceEngine:
             ))
         return tuple(new)
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    @partial(jax.jit, static_argnums=(0, 10), donate_argnums=(2,))
     def _decode(self, params, cache, tokens, positions, advance, sampling,
-                rng, lora, adapter_ids):
+                rng, lora, adapter_ids, filters_on=True):
         """``decode_steps`` lockstep decode ticks for every slot, fused into
         one device program (``lax.scan``): the host round-trip — which
         dominates tick time when the host link is thin — amortizes over
@@ -567,7 +587,9 @@ class InferenceEngine:
                     attention_mask=mask,
                     use_cache=True,
                 )
-            next_tokens = self._sample(logits[:, 0], sampling, step_rng)
+            next_tokens = self._sample(
+                logits[:, 0], sampling, step_rng, use_filters=filters_on
+            )
             # idle rows don't advance: their write target stays pinned at
             # the sacrificial index instead of cycling through the ring
             return (next_tokens, positions + advance, cache), next_tokens
@@ -578,17 +600,24 @@ class InferenceEngine:
         )
         return toks, cache  # toks: (decode_steps, n_slots)
 
-    def _sample(self, logits, sampling, rng):
+    def _sample(self, logits, sampling, rng, use_filters: bool = True):
         """Greedy where temperature == 0, else temperature sampling with
         per-row top-k / nucleus filtering. ``sampling`` is (b, 3):
-        [temperature, top_k (0 = off), top_p (>= 1 = off)]."""
+        [temperature, top_k (0 = off), top_p (>= 1 = off)].
+        ``use_filters=False`` (a trace-time static) skips the full-vocab
+        sorts entirely — the hot decode scan only pays them when some live
+        slot actually set a filter."""
         logits = logits.astype(jnp.float32)
         temperature = sampling[:, 0]
         greedy = jnp.argmax(logits, axis=-1)
-        filtered = filter_logits_per_row(
-            logits, sampling[:, 1].astype(jnp.int32), sampling[:, 2]
-        )
-        scaled = filtered / jnp.maximum(temperature, 1e-6)[:, None]
+        # temperature BEFORE the filters (top-p truncates the tempered
+        # distribution — standard HF/vLLM warper order; top-k is
+        # scale-invariant either way)
+        scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+        if use_filters:
+            scaled = filter_logits_per_row(
+                scaled, sampling[:, 1].astype(jnp.int32), sampling[:, 2]
+            )
         sampled = jax.random.categorical(rng, scaled, axis=-1)
         return jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
 
@@ -638,9 +667,20 @@ class InferenceEngine:
         self._queue.append(request)
 
     def _admit(self) -> None:
-        # pair free slots with queued requests, group by length bucket
+        # pair free slots with queued requests, group by length bucket;
+        # cancelled-in-queue requests retire without touching a slot
         pairs = []
         for slot_id, slot in enumerate(self._slots):
+            while self._queue and getattr(
+                self._queue[0], "_cancelled", False
+            ):
+                req = self._queue.popleft()
+                out = RequestOutput(req.request_id, len(req.prompt))
+                out.finish_reason = "cancelled"
+                self._finished += 1
+                self._done.append(out)
+                if req.on_finish is not None:
+                    req.on_finish(out)
             if not self._queue:
                 break
             if slot.free:
@@ -789,12 +829,32 @@ class InferenceEngine:
                 self._slots[slot_id].last_token = int(np.asarray(toks)[j])
                 self._collect(slot_id, self._slots[slot_id].last_token)
 
+    def cancel(self, request: Request) -> None:
+        """Mark a submitted request cancelled: it retires at its next
+        collected token (or is dropped from the queue before admission)
+        with ``finish_reason='cancelled'`` — a disconnected client stops
+        billing slot time."""
+        request._cancelled = True
+
     def _collect(self, slot_id: int, token: int) -> None:
-        """Record a sampled token; retire the slot on eos / length."""
+        """Record a sampled token; retire the slot on eos / length /
+        cancellation."""
         slot = self._slots[slot_id]
         req, out = slot.request, slot.output
-        out.tokens.append(token)
         now = time.perf_counter()
+        if getattr(req, "_cancelled", False):
+            out.finish_reason = "cancelled"
+            if slot.first_t == 0.0:
+                slot.first_t = now
+            out.decode_time = now - slot.first_t
+            self._finished += 1
+            self._tokens_out += len(out.tokens)
+            self._done.append(out)
+            self._slots[slot_id] = _Slot()
+            if req.on_finish is not None:
+                req.on_finish(out)
+            return
+        out.tokens.append(token)
         if len(out.tokens) == 1:
             slot.first_t = now
             out.prefill_time = now - slot.admit_t
@@ -845,10 +905,18 @@ class InferenceEngine:
             sampling[i] = self._sampling_row(s.request)
             adapter_ids[i] = s.adapter_id
         self._rng, rng = jax.random.split(self._rng)
+        # trace-time flag: pay the per-row filter sorts only when some live
+        # slot sampled with a filter enabled
+        filters_on = bool(
+            np.any(
+                (sampling[:, 0] > 0)
+                & ((sampling[:, 1] > 0) | (sampling[:, 2] < 1.0))
+            )
+        )
         step_tokens, self.cache = self._decode(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(advance), jnp.asarray(sampling),
-            rng, self._lora, jnp.asarray(adapter_ids),
+            rng, self._lora, jnp.asarray(adapter_ids), filters_on,
         )
         step_tokens = np.asarray(step_tokens)  # (decode_steps, n_slots)
         self.ticks += self.decode_steps

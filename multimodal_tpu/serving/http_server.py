@@ -51,16 +51,32 @@ class EngineDispatcher:
         self._pending: "queue.Queue" = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
+        self._dead: str = ""  # non-empty = dispatch thread died with this
+        self._inflight: dict = {}  # id(request) -> events queue
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit_request(self, request: Request) -> "queue.Queue":
         events: "queue.Queue" = queue.Queue()
+        if self._dead:
+            events.put(("error", f"engine unavailable: {self._dead}"))
+            return events
         request.on_token = lambda t: events.put(("token", t))
-        request.on_finish = lambda out: events.put(("done", out))
+
+        def finish(out, _req=request, _ev=events):
+            self._inflight.pop(id(_req), None)
+            _ev.put(("done", out))
+
+        request.on_finish = finish
+        self._inflight[id(request)] = events
         self._pending.put((request, events))
         self._wake.set()
         return events
+
+    def cancel_request(self, request: Request) -> None:
+        """Client went away: stop generating for this request."""
+        self.engine.cancel(request)
+        self._wake.set()
 
     def stats(self) -> dict:
         return self.engine.stats()
@@ -79,21 +95,34 @@ class EngineDispatcher:
                 return
             try:
                 self.engine.submit(request)
-            except ValueError as e:  # bad prompt length / unknown adapter
+            except Exception as e:  # bad prompt length / unknown adapter...
+                self._inflight.pop(id(request), None)
                 events.put(("error", str(e)))
 
     def _loop(self) -> None:
-        while not self._stop.is_set():
-            self._drain_pending()
-            busy = self.engine._queue or any(
-                not s.free for s in self.engine._slots
-            )
-            if busy:
-                self.engine.step()
+        try:
+            while not self._stop.is_set():
                 self._drain_pending()
-            else:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+                busy = self.engine._queue or any(
+                    not s.free for s in self.engine._slots
+                )
+                if busy:
+                    self.engine.step()
+                    self._drain_pending()
+                else:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+        except Exception as e:  # engine died: fail every waiter loudly
+            self._dead = f"{type(e).__name__}: {e}"
+            for events in list(self._inflight.values()):
+                events.put(("error", self._dead))
+            self._inflight.clear()
+            while True:
+                try:
+                    _req, events = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                events.put(("error", self._dead))
 
 
 def _make_handler(dispatcher: EngineDispatcher):
@@ -136,7 +165,10 @@ def _make_handler(dispatcher: EngineDispatcher):
                     top_p=(
                         float(body["top_p"]) if "top_p" in body else None
                     ),
-                    eos_id=body.get("eos_id"),
+                    eos_id=(
+                        int(body["eos_id"])
+                        if body.get("eos_id") is not None else None
+                    ),
                     prefix=body.get("prefix"),
                     adapter=body.get("adapter"),
                     request_id=body.get("request_id"),
@@ -146,10 +178,14 @@ def _make_handler(dispatcher: EngineDispatcher):
                 return
             stream = bool(body.get("stream", False))
             events = dispatcher.submit_request(request)
-            if stream:
-                self._stream(events)
-            else:
-                self._blocking(events)
+            try:
+                if stream:
+                    self._stream(events)
+                else:
+                    self._blocking(events)
+            except (BrokenPipeError, ConnectionResetError):
+                # client disconnected mid-generation: free the slot
+                dispatcher.cancel_request(request)
 
         def _blocking(self, events: "queue.Queue") -> None:
             tokens = []

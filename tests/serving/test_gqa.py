@@ -124,3 +124,52 @@ def test_gqa_streaming_rope():
     out = engine.run()[0]
     assert len(out.tokens) == 30
     assert engine.cache[0][0].shape[1:3] == (2, 10)  # kv heads x ring rows
+
+
+def test_quantized_kernel_grouped_heads():
+    """The int8 decode kernel with grouped queries must match dequantized
+    repeated-head attention."""
+    from multimodal_tpu.ops.kv_cache import quantize_kv, QuantizedKV
+    from multimodal_tpu.ops.quantized_attention import (
+        quantized_cache_attention,
+        supports_quantized_attention,
+    )
+
+    b, hq, hkv, L, d = 2, 4, 2, 128, 16
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (b, hq, 1, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, L, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, hkv, L, d))
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    kc, vc = QuantizedKV(kq, ks), QuantizedKV(vq, vs)
+    mask = (jnp.arange(L) < 70)[None, None, None, :]
+
+    assert supports_quantized_attention(q, mask, 0.0, kv_heads=hkv)
+    got = quantized_cache_attention(q, kc, vc, mask)
+
+    kd = jnp.repeat(kc.dequantize(), hq // hkv, axis=1)
+    vd = jnp.repeat(vc.dequantize(), hq // hkv, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kd) / np.sqrt(d)
+    s = jnp.where(mask, s, -1e30)
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), vd)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-2
+    )
+
+
+def test_engine_gqa_int8_matches_fp32_greedy():
+    model = LongContextLM(
+        vocab_size=64, max_seq_len=128, n_layer=2, d_model=32, n_head=4,
+        n_kv_head=2,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+
+    def run(dtype):
+        engine = InferenceEngine(model, params, n_slots=2, max_len=128,
+                                 cache_dtype=dtype)
+        engine.submit(Request([1, 2, 3, 4, 5], max_new_tokens=6,
+                              request_id=0))
+        return engine.run()[0].tokens
+
+    assert run("int8") == run(jnp.float32)

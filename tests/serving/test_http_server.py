@@ -85,3 +85,66 @@ def test_bad_requests(frontend):
         _post(frontend.url + "/generate",
               {"prompt": [1], "adapter": "nope"})
     assert e.value.code == 400
+
+
+def test_cancellation_frees_slot():
+    """A cancelled request retires with finish_reason='cancelled' whether
+    queued or mid-decode."""
+    from multimodal_tpu.serving import Request as Req
+
+    model = LongContextLM(
+        vocab_size=50, max_seq_len=64, n_layer=2, d_model=32, n_head=2,
+        dim_feedforward=64,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    from multimodal_tpu.serving import InferenceEngine as Eng
+
+    engine = Eng(model, params, n_slots=1, max_len=64, decode_steps=2)
+    live = Req([1, 2, 3], max_new_tokens=40, request_id="live")
+    queued = Req([4, 5], max_new_tokens=4, request_id="queued")
+    engine.submit(live)
+    engine.submit(queued)
+    engine.step()          # live admitted + decodes a little
+    engine.cancel(live)    # client went away
+    outs = {o.request_id: o for o in engine.run()}
+    assert outs["live"].finish_reason == "cancelled"
+    assert len(outs["live"].tokens) < 40
+    # the queued request got the freed slot and ran normally
+    assert outs["queued"].finish_reason == "length"
+    assert len(outs["queued"].tokens) == 4
+
+
+def test_dispatcher_death_fails_requests_loudly():
+    """If the engine thread dies, waiting requests get an error instead of
+    hanging forever, and new submissions fail fast."""
+    import queue as queue_mod
+
+    from multimodal_tpu.serving.http_server import EngineDispatcher
+
+    class ExplodingEngine:
+        _queue = [1]  # looks busy so the loop calls step()
+        _slots = []
+
+        def step(self):
+            raise RuntimeError("device fell over")
+
+        def submit(self, request):
+            pass
+
+        def cancel(self, request):
+            pass
+
+        def stats(self):
+            return {}
+
+    d = EngineDispatcher(ExplodingEngine())
+    from multimodal_tpu.serving import Request as Req
+
+    events = d.submit_request(Req([1], max_new_tokens=2))
+    kind, payload = events.get(timeout=30)
+    assert kind == "error" and "device fell over" in payload
+    # subsequent submissions fail immediately
+    events2 = d.submit_request(Req([1], max_new_tokens=2))
+    kind2, payload2 = events2.get(timeout=5)
+    assert kind2 == "error" and "unavailable" in payload2
+    d.shutdown()
