@@ -1,4 +1,8 @@
 from multimodal_tpu.serving.engine import InferenceEngine, Request, RequestOutput
+from multimodal_tpu.serving.caption_server import (
+    CoCaCaptionAdapter,
+    CoCaCaptionServer,
+)
 from multimodal_tpu.serving.embedding import EmbeddingServer
 from multimodal_tpu.serving.http_server import ServingFrontend
 from multimodal_tpu.serving.multi_lora import multi_lora_scope, stack_adapters
@@ -8,6 +12,8 @@ from multimodal_tpu.serving.video_gpt_server import (
 )
 
 __all__ = [
+    "CoCaCaptionAdapter",
+    "CoCaCaptionServer",
     "EmbeddingServer",
     "InferenceEngine",
     "Request",

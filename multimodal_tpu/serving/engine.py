@@ -162,6 +162,13 @@ class Request:
     (``adapters=``); this request's rows apply that adapter's factors in
     every adapted matmul while sharing the batch with other adapters
     (``serving/multi_lora.py``). ``None`` = the base model.
+
+    ``conditioning`` — per-request static conditioning pytree (no batch
+    dim), e.g. an image's pooled tokens for cross-attention captioning.
+    Required iff the engine was built with ``conditioning_spec``; the
+    engine scatters it into the slot's row of a resident buffer and passes
+    the gathered rows to every model call as ``conditioning=``
+    (``serving/caption_server.py``).
     """
 
     prompt: Sequence[int]
@@ -177,6 +184,7 @@ class Request:
     on_token: Optional[Any] = None
     prefix: Optional[str] = None
     adapter: Optional[str] = None
+    conditioning: Optional[Any] = None
     # called once with the finished RequestOutput when the slot retires
     on_finish: Optional[Any] = None
 
@@ -257,6 +265,15 @@ class InferenceEngine:
             count and prefill activation memory stop depending on prompt
             length. Chunked rows batch chunk-synchronously across
             requests.
+        conditioning_spec: per-request conditioning geometry — a pytree of
+            ``jax.ShapeDtypeStruct`` (or arrays, used for shape/dtype only)
+            WITHOUT the batch dim. The engine keeps one resident buffer per
+            leaf with ``n_slots + 1`` rows, scatters each admitted
+            request's ``Request.conditioning`` into its slot row, and
+            passes the live rows to the model as ``conditioning=`` in
+            every prefill/decode call. This is how encoder-decoder /
+            cross-attention models (image captioners) ride the engine:
+            the conditioning row IS the per-request encoder state.
     """
 
     def __init__(
@@ -278,6 +295,7 @@ class InferenceEngine:
         prefill_chunk: Optional[int] = None,
         window: Optional[int] = None,
         sinks: int = 4,
+        conditioning_spec: Optional[Any] = None,
     ):
         self.model = model
         self.params = params
@@ -347,6 +365,19 @@ class InferenceEngine:
                  jnp.zeros(kv_shape, cache_dtype))
                 for _ in range(n_layer)
             )
+        # per-slot conditioning buffer (row n_slots = trash, like the cache);
+        # idle rows hold zeros — cross-attention over zero states is finite
+        # (uniform softmax) and those rows' outputs are discarded anyway
+        self.conditioning = (
+            jax.tree_util.tree_map(
+                lambda s: jnp.zeros(
+                    (n_slots + 1,) + tuple(s.shape), s.dtype
+                ),
+                conditioning_spec,
+            )
+            if conditioning_spec is not None
+            else None
+        )
         self._slots = [_Slot() for _ in range(n_slots)]
         self._queue: deque = deque()
         self._done: List[RequestOutput] = []
@@ -377,6 +408,13 @@ class InferenceEngine:
         tokens = np.asarray(tokens, np.int32)
         if len(tokens) == 0:
             raise ValueError("empty prefix")
+        if self.conditioning is not None:
+            raise ValueError(
+                "prefix caching does not compose with per-request "
+                "conditioning: prefix KV rows depend on the conditioning "
+                "through cross-attention, so a shared prefix would be wrong "
+                "for every request but one"
+            )
         aid = self._adapter_id(adapter)
         with multi_lora_scope(
             self._lora, jnp.full((1,), aid, jnp.int32)
@@ -389,9 +427,24 @@ class InferenceEngine:
         self._prefixes[name] = (kvs, len(tokens), adapter)
 
     # ---------------------------------------------------------------- jitted
+    def _cond_kwargs(self, conditioning, slots=None) -> dict:
+        """``conditioning=`` kwarg for a model call: the buffer rows for
+        ``slots`` (or the whole buffer when the batch is slot-aligned).
+        Empty when the engine has no conditioning — unconditioned models
+        never see the kwarg."""
+        if self.conditioning is None:
+            return {}
+        if slots is None:
+            return {"conditioning": conditioning}
+        return {
+            "conditioning": jax.tree_util.tree_map(
+                lambda b: b[slots], conditioning
+            )
+        }
+
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill(self, params, cache, tokens, slots, lengths, sampling,
-                 rng, lora, adapter_ids):
+                 rng, lora, adapter_ids, conditioning):
         """Causal forward of a BATCH of padded prompts (one length bucket),
         each row's KV block-written into its slot; returns the updated cache
         and the first sampled token per row (from the logits at
@@ -401,6 +454,7 @@ class InferenceEngine:
         with multi_lora_scope(lora, adapter_ids):
             logits, kvs = self.model.apply(
                 params, tokens, use_cache=True,
+                **self._cond_kwargs(conditioning, slots),
             )
         bucket = tokens.shape[1]
         new = []
@@ -419,7 +473,7 @@ class InferenceEngine:
     def _prefill_prefixed(
         self, params, cache, prefix_kvs, plen, tokens, slots, lengths,
         sampling, rng, lora, adapter_ids,
-    ):
+    ):  # conditioning never reaches here: register_prefix rejects it
         """Prefill a batch of SUFFIX prompts on top of a precomputed prefix:
         the prefix KV rows are broadcast into each row, the suffix forward
         attends them through the valid-prefix mask and writes its own rows
@@ -470,7 +524,7 @@ class InferenceEngine:
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_chunk(
         self, params, cache, tokens, slots, starts, valids, sampling,
-        rng, lora, adapter_ids,
+        rng, lora, adapter_ids, conditioning,
     ):
         """One fixed-width chunk of prompt for up to ``prefill_batch`` rows
         (chunked prefill): each row's earlier chunks already live in its
@@ -508,6 +562,7 @@ class InferenceEngine:
                 params, tokens, positions=positions,
                 past_key_values=rows, cache_index=write_idx,
                 attention_mask=mask, use_cache=True,
+                **self._cond_kwargs(conditioning, slots),
             )
         # scatter back only this chunk's written span — a whole-row
         # scatter would pay O(max_len) copy traffic per chunk
@@ -544,9 +599,9 @@ class InferenceEngine:
             ))
         return tuple(new)
 
-    @partial(jax.jit, static_argnums=(0, 10), donate_argnums=(2,))
+    @partial(jax.jit, static_argnums=(0, 11), donate_argnums=(2,))
     def _decode(self, params, cache, tokens, positions, advance, sampling,
-                rng, lora, adapter_ids, filters_on=True):
+                rng, lora, adapter_ids, conditioning, filters_on=True):
         """``decode_steps`` lockstep decode ticks for every slot, fused into
         one device program (``lax.scan``): the host round-trip — which
         dominates tick time when the host link is thin — amortizes over
@@ -586,6 +641,8 @@ class InferenceEngine:
                     cache_index=write_idx,
                     attention_mask=mask,
                     use_cache=True,
+                    # whole buffer: the decode batch is slot-aligned
+                    **self._cond_kwargs(conditioning),
                 )
             next_tokens = self._sample(
                 logits[:, 0], sampling, step_rng, use_filters=filters_on
@@ -663,8 +720,42 @@ class InferenceEngine:
             )
         if len(request.prompt) == 0:
             raise ValueError("empty prompt")
+        if (self.conditioning is not None) != (
+            request.conditioning is not None
+        ):
+            raise ValueError(
+                "Request.conditioning is required exactly when the engine "
+                "was built with conditioning_spec "
+                f"(engine: {self.conditioning is not None}, "
+                f"request: {request.conditioning is not None})"
+            )
+        if self.conditioning is not None:
+            jax.tree_util.tree_map(
+                lambda buf, r: (_ for _ in ()).throw(ValueError(
+                    f"conditioning leaf shape {np.shape(r)} != spec "
+                    f"{buf.shape[1:]}"
+                )) if tuple(np.shape(r)) != tuple(buf.shape[1:]) else None,
+                self.conditioning, request.conditioning,
+            )
         request._submit_t = time.perf_counter()
         self._queue.append(request)
+
+    def _write_conditioning(self, pairs) -> None:
+        """Scatter admitted requests' conditioning pytrees into their slot
+        rows (one batched scatter per leaf)."""
+        if self.conditioning is None or not pairs:
+            return
+        slots = jnp.asarray([sid for sid, _ in pairs], jnp.int32)
+        batched = jax.tree_util.tree_map(
+            lambda *leaves: jnp.asarray(np.stack(
+                [np.asarray(l) for l in leaves]
+            )),
+            *[req.conditioning for _, req in pairs],
+        )
+        self.conditioning = jax.tree_util.tree_map(
+            lambda buf, new: buf.at[slots].set(new.astype(buf.dtype)),
+            self.conditioning, batched,
+        )
 
     def _admit(self) -> None:
         # pair free slots with queued requests, group by length bucket;
@@ -687,6 +778,7 @@ class InferenceEngine:
                 pairs.append((slot_id, self._queue.popleft()))
         if not pairs:
             return
+        self._write_conditioning(pairs)
         if self.prefill_chunk is not None:
             chunked = [
                 p for p in pairs if len(p[1].prompt) > self.prefill_chunk
@@ -740,7 +832,7 @@ class InferenceEngine:
                         self.params, self.cache, jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
                         jnp.asarray(sampling), rng, self._lora,
-                        jnp.asarray(adapter_ids),
+                        jnp.asarray(adapter_ids), self.conditioning,
                     )
                 else:
                     self.cache, firsts = self._prefill_prefixed(
@@ -823,7 +915,7 @@ class InferenceEngine:
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(slots), jnp.asarray(starts),
                 jnp.asarray(valids), jnp.asarray(sampling), rng, self._lora,
-                jnp.asarray(adapter_ids),
+                jnp.asarray(adapter_ids), self.conditioning,
             )
             for j, slot_id in enders:
                 self._slots[slot_id].last_token = int(np.asarray(toks)[j])
@@ -916,7 +1008,8 @@ class InferenceEngine:
         step_tokens, self.cache = self._decode(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(advance), jnp.asarray(sampling),
-            rng, self._lora, jnp.asarray(adapter_ids), filters_on,
+            rng, self._lora, jnp.asarray(adapter_ids), self.conditioning,
+            filters_on,
         )
         step_tokens = np.asarray(step_tokens)  # (decode_steps, n_slots)
         self.ticks += self.decode_steps
