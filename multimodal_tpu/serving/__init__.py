@@ -1,4 +1,8 @@
 from multimodal_tpu.serving.engine import InferenceEngine, Request, RequestOutput
+from multimodal_tpu.serving.blip2_caption_server import (
+    Blip2CaptionAdapter,
+    Blip2CaptionServer,
+)
 from multimodal_tpu.serving.caption_server import (
     CoCaCaptionAdapter,
     CoCaCaptionServer,
@@ -12,6 +16,8 @@ from multimodal_tpu.serving.video_gpt_server import (
 )
 
 __all__ = [
+    "Blip2CaptionAdapter",
+    "Blip2CaptionServer",
     "CoCaCaptionAdapter",
     "CoCaCaptionServer",
     "EmbeddingServer",

@@ -169,6 +169,17 @@ class Request:
     engine scatters it into the slot's row of a resident buffer and passes
     the gathered rows to every model call as ``conditioning=``
     (``serving/caption_server.py``).
+
+    ``kv_prefix`` — per-request PRECOMPUTED KV rows seeding cache
+    positions ``[0, kv_prefix_len)`` of the slot: a tuple over layers of
+    ``(k, v)`` arrays shaped ``(heads, kv_prefix_len, head_dim)``.
+    Required iff the engine was built with ``kv_prefix_len``. This is the
+    per-request generalization of ``register_prefix`` — the mechanism for
+    encoder-decoder models whose conditioning enters generation as primed
+    self-attention state (BLIP-2's image-conditioned query tokens,
+    ``serving/blip2_caption_server.py``); the prompt prefills as a suffix
+    on top and decode attends the seeded rows through the ordinary
+    valid-prefix mask.
     """
 
     prompt: Sequence[int]
@@ -185,6 +196,7 @@ class Request:
     prefix: Optional[str] = None
     adapter: Optional[str] = None
     conditioning: Optional[Any] = None
+    kv_prefix: Optional[Sequence[Tuple[Any, Any]]] = None
     # called once with the finished RequestOutput when the slot retires
     on_finish: Optional[Any] = None
 
@@ -274,6 +286,13 @@ class InferenceEngine:
             every prefill/decode call. This is how encoder-decoder /
             cross-attention models (image captioners) ride the engine:
             the conditioning row IS the per-request encoder state.
+        kv_prefix_len: when set, every request must carry
+            ``Request.kv_prefix`` — precomputed per-request KV rows (one
+            ``(heads, kv_prefix_len, head_dim)`` pair per layer) seeded
+            into cache positions ``[0, kv_prefix_len)`` at admission;
+            prompts prefill from that offset. The per-request analog of
+            ``register_prefix``, for models whose conditioning lives in
+            primed self-attention state (BLIP-2 query tokens).
     """
 
     def __init__(
@@ -296,6 +315,7 @@ class InferenceEngine:
         window: Optional[int] = None,
         sinks: int = 4,
         conditioning_spec: Optional[Any] = None,
+        kv_prefix_len: Optional[int] = None,
     ):
         self.model = model
         self.params = params
@@ -378,6 +398,14 @@ class InferenceEngine:
             if conditioning_spec is not None
             else None
         )
+        if kv_prefix_len is not None and kv_prefix_len >= self.cache_len:
+            raise ValueError(
+                f"kv_prefix_len ({kv_prefix_len}) must leave room for the "
+                f"prompt and generation (cache_len {self.cache_len})"
+            )
+        self.kv_prefix_len = kv_prefix_len
+        # (n_layer, heads, head_dim) for Request.kv_prefix validation
+        self._kv_geom = (n_layer, n_head, head_dim)
         self._slots = [_Slot() for _ in range(n_slots)]
         self._queue: deque = deque()
         self._done: List[RequestOutput] = []
@@ -414,6 +442,11 @@ class InferenceEngine:
                 "conditioning: prefix KV rows depend on the conditioning "
                 "through cross-attention, so a shared prefix would be wrong "
                 "for every request but one"
+            )
+        if self.kv_prefix_len is not None:
+            raise ValueError(
+                "registered prefixes do not compose with kv_prefix_len: "
+                "both claim cache positions [0, plen)"
             )
         aid = self._adapter_id(adapter)
         with multi_lora_scope(
@@ -472,12 +505,16 @@ class InferenceEngine:
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _prefill_prefixed(
         self, params, cache, prefix_kvs, plen, tokens, slots, lengths,
-        sampling, rng, lora, adapter_ids,
-    ):  # conditioning never reaches here: register_prefix rejects it
+        sampling, rng, lora, adapter_ids, conditioning,
+    ):
         """Prefill a batch of SUFFIX prompts on top of a precomputed prefix:
-        the prefix KV rows are broadcast into each row, the suffix forward
-        attends them through the valid-prefix mask and writes its own rows
-        from ``plen``, and the whole rows are scattered into the slots.
+        the prefix KV rows — ``(1, ...)`` for a shared registered prefix,
+        broadcast, or ``(b, ...)`` for per-request ``kv_prefix`` rows — are
+        placed into each row, the suffix forward attends them through the
+        valid-prefix mask and writes its own rows from ``plen``, and the
+        whole rows are scattered into the slots. ``conditioning`` is always
+        None on the registered-prefix path (``register_prefix`` rejects
+        conditioning engines); per-request kv_prefix composes with it.
 
         Writes are per-position (not a block write at ``plen``): when
         ``plen + bucket > max_len`` a contiguous ``dynamic_update_slice``
@@ -510,6 +547,7 @@ class InferenceEngine:
                 positions=jnp.broadcast_to(positions, (b, bucket)),
                 past_key_values=rows, cache_index=write_idx,
                 attention_mask=mask, use_cache=True,
+                **self._cond_kwargs(conditioning, slots),
             )
         new = tuple(
             (_kv_scatter_rows(ck, rk, slots), _kv_scatter_rows(cv, rv, slots))
@@ -688,7 +726,36 @@ class InferenceEngine:
     # ----------------------------------------------------------------- host
     def submit(self, request: Request) -> None:
         self._adapter_id(request.adapter)  # raises on unknown name
+        if (self.kv_prefix_len is not None) != (
+            request.kv_prefix is not None
+        ):
+            raise ValueError(
+                "Request.kv_prefix is required exactly when the engine was "
+                f"built with kv_prefix_len (engine: {self.kv_prefix_len}, "
+                f"request: {request.kv_prefix is not None})"
+            )
         plen = 0
+        if request.kv_prefix is not None:
+            if request.prefix is not None:
+                raise ValueError(
+                    "kv_prefix and a registered prefix cannot combine: both "
+                    "claim cache positions [0, plen)"
+                )
+            n_layer, n_head, head_dim = self._kv_geom
+            if len(request.kv_prefix) != n_layer:
+                raise ValueError(
+                    f"kv_prefix has {len(request.kv_prefix)} layers, "
+                    f"cache has {n_layer}"
+                )
+            want = (n_head, self.kv_prefix_len, head_dim)
+            for li, (k, v) in enumerate(request.kv_prefix):
+                for nm, arr in (("k", k), ("v", v)):
+                    if tuple(np.shape(arr)) != want:
+                        raise ValueError(
+                            f"kv_prefix layer {li} {nm} shape "
+                            f"{tuple(np.shape(arr))} != {want}"
+                        )
+            plen = self.kv_prefix_len
         if request.prefix is not None:
             if request.prefix not in self._prefixes:
                 raise ValueError(f"unknown prefix {request.prefix!r}")
@@ -739,6 +806,29 @@ class InferenceEngine:
             )
         request._submit_t = time.perf_counter()
         self._queue.append(request)
+
+    def _stack_kv_prefixes(self, chunk, n: int):
+        """Per-layer (n, heads, P, head_dim) stacks of ``chunk``'s requests'
+        kv_prefix rows, zero rows for the padding entries (their whole
+        cache rows land in the trash slot anyway)."""
+        n_layer, n_head, head_dim = self._kv_geom
+        pad = np.zeros(
+            (n_head, self.kv_prefix_len, head_dim), np.float32
+        )
+        out = []
+        for li in range(n_layer):
+            ks = [
+                np.asarray(req.kv_prefix[li][0], np.float32)
+                for _, req in chunk
+            ]
+            vs = [
+                np.asarray(req.kv_prefix[li][1], np.float32)
+                for _, req in chunk
+            ]
+            ks += [pad] * (n - len(chunk))
+            vs += [pad] * (n - len(chunk))
+            out.append((jnp.asarray(np.stack(ks)), jnp.asarray(np.stack(vs))))
+        return tuple(out)
 
     def _write_conditioning(self, pairs) -> None:
         """Scatter admitted requests' conditioning pytrees into their slot
@@ -791,14 +881,18 @@ class InferenceEngine:
         groups: dict = {}
         for slot_id, req in pairs:
             bucket = _bucket(len(req.prompt), self.prefill_buckets)
-            groups.setdefault((bucket, req.prefix), []).append((slot_id, req))
+            groups.setdefault(
+                (bucket, req.prefix, req.kv_prefix is not None), []
+            ).append((slot_id, req))
 
         admitted = []
-        for (bucket, prefix), items in groups.items():
+        for (bucket, prefix, kvp), items in groups.items():
             pfx_kvs, plen = (
                 self._prefixes[prefix][:2] if prefix is not None
                 else (None, 0)
             )
+            if kvp:
+                plen = self.kv_prefix_len
             for c in range(0, len(items), self.prefill_batch):
                 chunk = items[c : c + self.prefill_batch]
                 n = self.prefill_batch
@@ -827,7 +921,10 @@ class InferenceEngine:
                     slot.pos = plen + len(prompt)
                     slot.adapter_id = adapter_ids[j]
                 self._rng, rng = jax.random.split(self._rng)
-                if prefix is None:
+                if kvp:
+                    # per-request prefix rows, padding rows zero
+                    pfx_kvs = self._stack_kv_prefixes(chunk, n)
+                if prefix is None and not kvp:
                     self.cache, firsts = self._prefill(
                         self.params, self.cache, jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
@@ -840,7 +937,7 @@ class InferenceEngine:
                         jnp.asarray(plen, jnp.int32), jnp.asarray(tokens),
                         jnp.asarray(slots), jnp.asarray(lengths),
                         jnp.asarray(sampling), rng, self._lora,
-                        jnp.asarray(adapter_ids),
+                        jnp.asarray(adapter_ids), self.conditioning,
                     )
                 admitted.append((chunk, firsts))
         # pull first tokens only after every prefill is dispatched
@@ -863,6 +960,13 @@ class InferenceEngine:
                 pfx_kvs, plen, _ = self._prefixes[req.prefix]
                 self.cache = self._seed_prefix(
                     self.cache, pfx_kvs,
+                    jnp.asarray([slot_id], jnp.int32),
+                )
+            elif req.kv_prefix is not None:
+                plen = self.kv_prefix_len
+                self.cache = self._seed_prefix(
+                    self.cache,
+                    self._stack_kv_prefixes([(slot_id, req)], 1),
                     jnp.asarray([slot_id], jnp.int32),
                 )
             prompt = np.asarray(req.prompt, np.int32)
