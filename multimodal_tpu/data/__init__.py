@@ -22,8 +22,18 @@ from multimodal_tpu.data.imagenet_zeroshot import (
     imagenet_classnames,
     imagenet_templates,
 )
+from multimodal_tpu.data.multihost import (
+    HostShardedDataModule,
+    global_batch_put,
+    host_shard_indices,
+    local_batch_size,
+)
 
 __all__ = [
+    "HostShardedDataModule",
+    "global_batch_put",
+    "host_shard_indices",
+    "local_batch_size",
     "DataModule",
     "ImageDataModule",
     "MLMDataModule",

@@ -23,18 +23,23 @@ def device_prefetch(
     batches: Iterable[Any],
     sharding: Optional[Any] = None,
     depth: int = 2,
+    put_fn: Optional[Any] = None,
 ) -> Iterator[Any]:
     """Yield batches already transferred to device, ``depth`` ahead.
 
     ``sharding`` is applied to every array leaf (a ``NamedSharding`` for
     mesh runs, or None for single-device placement). ``depth=2`` is classic
     double buffering; larger depths only help when H2D jitter exceeds a
-    step time.
+    step time. ``put_fn(batch, sharding) -> device batch`` overrides the
+    transfer (multi-host runs pass ``data.multihost.global_batch_put`` so
+    each process ships only its shard of the global array).
     """
     if depth < 1:
         raise ValueError("depth must be >= 1")
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch, sharding)
         if sharding is None:
             return jax.tree_util.tree_map(jax.device_put, batch)
         return jax.tree_util.tree_map(

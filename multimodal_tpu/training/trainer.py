@@ -85,6 +85,7 @@ class Trainer:
         grad_accum_steps: int = 1,
         checkpoint_on_preemption: bool = False,
         mutable_state: bool = False,
+        multihost: Optional[bool] = None,
     ):
         """``mutable_state=True`` supports models with non-trainable mutable
         collections (BatchNorm running stats, EMA buffers): the loss
@@ -104,6 +105,15 @@ class Trainer:
         self.skip_nonfinite_updates = skip_nonfinite_updates
         self.strategy = strategy
         self.mesh = mesh if mesh is not None else create_mesh(dp=1, fsdp=-1, tp=1)
+        # Pod-scale input: when the runtime spans processes (one per TPU
+        # host), each host's loader yields only its slice of the global
+        # batch and H2D goes through make_array_from_process_local_data
+        # (data/multihost.py). Single-process, global_batch_put degenerates
+        # to a plain sharded device_put, so forcing multihost=True is safe
+        # (and is how the path is tested on the virtual mesh).
+        self.multihost = (
+            jax.process_count() > 1 if multihost is None else multihost
+        )
         self.logger = MetricsLogger(log_dir, log_interval)
         self.ckpt = CheckpointManager(checkpoint_dir, max_checkpoints) if checkpoint_dir else None
         self._step_fn = None
@@ -225,6 +235,10 @@ class Trainer:
         # device_put handles host numpy directly — one async H2D transfer
         # per leaf (jnp.asarray first would stage on device 0, then reshard)
         sharding = batch_sharding(self.mesh)
+        if self.multihost:
+            from multimodal_tpu.data.multihost import global_batch_put
+
+            return global_batch_put(batch, sharding)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(np.asarray(x) if not hasattr(x, "devices") else x,
                                      sharding),
@@ -264,9 +278,14 @@ class Trainer:
 
         # bounded to exactly num_steps so look-ahead never swallows batches
         # a subsequent fit() call on the same iterator should see
+        put_fn = None
+        if self.multihost:
+            from multimodal_tpu.data.multihost import global_batch_put
+
+            put_fn = global_batch_put
         data_iter = device_prefetch(
             itertools.islice(batches(), num_steps),
-            batch_sharding(self.mesh), depth=2,
+            batch_sharding(self.mesh), depth=2, put_fn=put_fn,
         )
         t0 = time.perf_counter()
         items = 0
