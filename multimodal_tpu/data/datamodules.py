@@ -126,17 +126,30 @@ class DataModule:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         return idx
 
-    def _epoch_batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.RandomState((self.seed, epoch))
+    def _epoch_batches(
+        self, epoch: int, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        # Per-BATCH rng keyed on (seed, epoch, offset): batch b of epoch e
+        # is a pure function of the config, independent of how many batches
+        # were consumed before it — this is what makes mid-epoch resume
+        # (``train_batches(start_step=...)``) exact rather than approximate.
         idx = self._epoch_indices(epoch)
         bs = self.batch_size
         end = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
-        for start in range(0, end, bs):
+        for start in range(start_batch * bs, end, bs):
             chunk = idx[start : start + bs]
             if self.drop_last and len(chunk) < bs:
                 break
+            rng = np.random.RandomState((self.seed, epoch, start))
             samples = [self.process(self.dataset[int(i)], rng) for i in chunk]
             yield self.postprocess(self.collate(samples), rng)
+
+    def batches_per_epoch(self) -> int:
+        # via _epoch_indices so host-sharded wrappers are counted correctly
+        n = len(self._epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def eval_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         """One deterministic unshuffled pass (may yield a ragged tail)."""
@@ -147,14 +160,23 @@ class DataModule:
             samples = [self.process(self.dataset[start + i], rng) for i in range(n)]
             yield self.postprocess(self.collate(samples), rng)
 
-    def train_batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite stream, re-shuffled each epoch, prefetched off-thread."""
+    def train_batches(self, start_step: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite stream, re-shuffled each epoch, prefetched off-thread.
+
+        ``start_step`` fast-forwards the stream to global batch number
+        ``start_step`` by index arithmetic (no samples are processed for the
+        skipped batches), so checkpoint auto-resume continues on EXACTLY the
+        data the interrupted run would have seen next — the reference's
+        Lightning stack only approximates this (epoch-granularity restart).
+        """
+        per_epoch = max(self.batches_per_epoch(), 1)
+        first_epoch, first_batch = divmod(start_step, per_epoch)
 
         def gen():
-            epoch = 0
+            epoch, start = first_epoch, first_batch
             while True:
-                yield from self._epoch_batches(epoch)
-                epoch += 1
+                yield from self._epoch_batches(epoch, start_batch=start)
+                epoch, start = epoch + 1, 0
 
         if self.prefetch > 0:
             return _Prefetcher(gen, depth=self.prefetch)

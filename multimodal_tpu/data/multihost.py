@@ -115,8 +115,8 @@ class HostShardedDataModule:
         idx = self._orig_epoch_indices(epoch)
         return host_shard_indices(idx, self.process_index, self.process_count)
 
-    def train_batches(self) -> Iterator:
-        return self.inner.train_batches()
+    def train_batches(self, start_step: int = 0) -> Iterator:
+        return self.inner.train_batches(start_step=start_step)
 
     def eval_batches(self) -> Iterator:
         """Eval is NOT sharded: every host sees the full eval set (cheap, and

@@ -145,8 +145,12 @@ def build_text_transform(cfg: Dict[str, Any]):
     return HashTokenizer(m["vocab_size"], d["text_len"])
 
 
-def real_batches(cfg: Dict[str, Any]):
-    """VLDataModule over an on-disk dataset (reference VLDataModule analog)."""
+def real_batches(cfg: Dict[str, Any], start_step: int = 0):
+    """VLDataModule over an on-disk dataset (reference VLDataModule analog).
+
+    ``start_step`` (the restored ``state["step"]`` on auto-resume) fast-
+    forwards the stream so a resumed run continues on exactly the batches
+    the interrupted run would have seen next."""
     from PIL import Image
 
     from multimodal_tpu.data.datamodules import VLDataModule
@@ -188,7 +192,7 @@ def real_batches(cfg: Dict[str, Any]):
         image_key=d["image_key"],
         text_key=d["text_key"],
     )
-    return dm.train_batches()
+    return dm.train_batches(start_step=start_step)
 
 
 def build_zero_shot_eval(cfg: Dict[str, Any], model):
@@ -349,7 +353,10 @@ def main(argv=None) -> None:
     print(f"model={cfg['model']['size']} params={n_params / 1e6:.1f}M "
           f"devices={jax.device_count()} strategy={cfg['train']['strategy']}",
           flush=True)
-    data = real_batches(cfg) if cfg["data"]["path"] else synthetic_batches(cfg)
+    data = (
+        real_batches(cfg, start_step=int(state["step"]))
+        if cfg["data"]["path"] else synthetic_batches(cfg)
+    )
     eval_fns = []
     if cfg["data"]["imagenet_path"]:
         # note: eval_fn closes over the model built inside

@@ -165,7 +165,23 @@ class Trainer:
     def restore_or_init(self, params: Any, model_state: Any = None) -> Dict[str, Any]:
         state = self.init_state(params, model_state)
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # Re-place every restored leaf on the template's sharding.
+            # Orbax restores scalars/unsharded leaves as arrays COMMITTED to
+            # device 0; the jitted step then rejects them against the mesh
+            # ("incompatible devices") — uncommitted init arrays were being
+            # auto-moved, which is why init-then-fit worked but
+            # restore-then-fit did not.
+            def target(leaf):
+                s = getattr(leaf, "sharding", None)
+                if isinstance(s, NamedSharding):
+                    return s
+                return NamedSharding(self.mesh, P())
+
+            shardings = jax.tree_util.tree_map(target, state)
             state = self.ckpt.restore(state)
+            state = jax.tree_util.tree_map(jax.device_put, state, shardings)
             print(f"resumed from checkpoint step {int(state['step'])}", flush=True)
         return state
 

@@ -240,3 +240,33 @@ def test_image_datamodule_native_jpeg_staging(tmp_path):
     )
     b2 = next(iter(dm2.eval_batches()))
     assert b2["image"].shape == (1, 128, 128, 3)
+
+
+def test_train_batches_mid_epoch_resume_exact():
+    """train_batches(start_step=k) == dropping the first k batches of
+    train_batches(): per-batch rng keyed on (seed, epoch, offset) makes
+    mid-epoch checkpoint resume exact, including rng-driven augmentation
+    and across epoch boundaries."""
+    from multimodal_tpu.data.datamodules import DataModule
+
+    class RngDM(DataModule):
+        # rng-consuming process: any drift in rng threading shows up
+        def process(self, sample, rng):
+            return {
+                "i": np.asarray(sample, np.int64),
+                "r": rng.rand(3).astype(np.float32),
+            }
+
+    def make():
+        return RngDM(list(range(20)), batch_size=4, shuffle=True, seed=5,
+                     prefetch=0)
+
+    assert make().batches_per_epoch() == 5
+    full = make().train_batches()
+    ref = [next(full) for _ in range(12)]  # 2.4 epochs
+    for k in (0, 3, 5, 7, 11):  # mid-epoch, boundary, second epoch
+        resumed = make().train_batches(start_step=k)
+        for step in range(k, 12):
+            got = next(resumed)
+            for key in ("i", "r"):
+                np.testing.assert_array_equal(got[key], ref[step][key])

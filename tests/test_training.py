@@ -131,3 +131,59 @@ def test_zero_shot_eval():
     img = jnp.asarray(class_dirs)
     acc = zero_shot_accuracy(img, jnp.arange(3), classifier)
     assert acc["top1"] == 1.0
+
+
+def test_resume_then_train_and_exact_data_fast_forward(tmp_path):
+    """Interrupted(3)+resumed(2) training == uninterrupted(5), bit-exact.
+
+    Covers two failure modes at once: (1) orbax-restored scalars come back
+    committed to device 0 and must be re-placed on the mesh before the
+    jitted step accepts them (restore_or_init re-sharding); (2) the data
+    stream must fast-forward to the checkpointed step exactly
+    (DataModule.train_batches(start_step=...), per-batch rng)."""
+    from multimodal_tpu.data.datamodules import DataModule
+
+    class ResumeDM(DataModule):
+        def process(self, sample, rng):
+            x = np.asarray(sample, np.float32) + rng.rand(8).astype(np.float32)
+            return {"x": x, "y": x * 2.0}
+
+    def make_dm():
+        return ResumeDM(
+            [np.full(8, i, np.float32) for i in range(64)],
+            batch_size=16, seed=7, prefetch=0,
+        )
+
+    class Net8(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8)(nn.relu(nn.Dense(16)(x)))
+
+    model = Net8()
+
+    def loss_fn(params, batch, _rng):
+        pred = model.apply(params, batch["x"])
+        return jnp.mean((pred - batch["y"]) ** 2), {}
+
+    def run(tag, steps_list):
+        mesh = create_mesh(dp=2, fsdp=4, tp=1)
+        for steps in steps_list:
+            trainer = Trainer(
+                loss_fn, optax.adam(1e-2), strategy="fsdp", mesh=mesh,
+                checkpoint_dir=str(tmp_path / tag),
+            )
+            params = model.init(rng(0), jnp.zeros((1, 8)))
+            state = trainer.restore_or_init(params)
+            data = make_dm().train_batches(start_step=int(state["step"]))
+            state = trainer.fit(state, data, num_steps=steps,
+                                checkpoint_every=steps)
+        return state
+
+    full = run("full", [5])
+    resumed = run("resumed", [3, 2])
+    assert int(resumed["step"]) == 5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full["params"]),
+        jax.tree_util.tree_leaves(resumed["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
