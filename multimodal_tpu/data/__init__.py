@@ -28,8 +28,16 @@ from multimodal_tpu.data.multihost import (
     host_shard_indices,
     local_batch_size,
 )
+from multimodal_tpu.data.webdataset import (
+    IterableDataModule,
+    ShardedTarDataset,
+    expand_shards,
+)
 
 __all__ = [
+    "IterableDataModule",
+    "ShardedTarDataset",
+    "expand_shards",
     "HostShardedDataModule",
     "global_batch_put",
     "host_shard_indices",
