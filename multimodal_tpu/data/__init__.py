@@ -31,12 +31,14 @@ from multimodal_tpu.data.multihost import (
 from multimodal_tpu.data.webdataset import (
     IterableDataModule,
     ShardedTarDataset,
+    StreamingVLDataModule,
     expand_shards,
 )
 
 __all__ = [
     "IterableDataModule",
     "ShardedTarDataset",
+    "StreamingVLDataModule",
     "expand_shards",
     "HostShardedDataModule",
     "global_batch_put",

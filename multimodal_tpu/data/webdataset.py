@@ -228,3 +228,87 @@ class IterableDataModule:
 
     def __iter__(self):
         return iter(self.train_batches())
+
+
+class StreamingVLDataModule(IterableDataModule):
+    """Image-text pretraining batches straight from webdataset shards.
+
+    The streaming counterpart of ``datamodules.VLDataModule`` (same output
+    contract: {image..., text, text_masked, mlm_labels, itm_labels}), with
+    one forced difference: ITM negatives are drawn WITHIN the batch
+    (caption swap between rows) because a stream has no random access to
+    other samples. For the batch sizes this feeds (hundreds+), in-batch
+    negatives are the standard formulation.
+    """
+
+    IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+
+    def __init__(
+        self,
+        shards,
+        image_transform: Callable,
+        text_transform: Callable,
+        mlm_collator=None,
+        itm_probability: float = 0.1,
+        text_ext: str = "txt",
+        jpeg_staging=None,
+        **kwargs,
+    ):
+        super().__init__(shards, **kwargs)
+        self.image_transform = image_transform
+        self.text_transform = text_transform
+        self.mlm_collator = mlm_collator
+        self.itm_probability = itm_probability
+        self.text_ext = text_ext
+        self.jpeg_staging = jpeg_staging
+
+    def _decode_image(self, sample):
+        from multimodal_tpu.data.datamodules import _to_image
+
+        for ext in self.IMAGE_EXTS:
+            if ext in sample:
+                blob = sample[ext]
+                break
+        else:
+            raise KeyError(
+                f"sample {sample.get('__key__')} has no image field "
+                f"(looked for {self.IMAGE_EXTS})"
+            )
+        if self.jpeg_staging is not None and ext in ("jpg", "jpeg"):
+            return _to_image(blob, self.jpeg_staging)
+        import io as _io
+
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(blob)) as im:
+            return im.convert("RGB").copy()
+
+    def process(self, sample, rng):
+        img = self.image_transform(self._decode_image(sample))
+        out = dict(img) if isinstance(img, dict) else {"image": np.asarray(img)}
+        text = sample[self.text_ext].decode("utf-8")
+        out["text"] = (
+            np.asarray(self.text_transform([text]))[0].astype(np.int32)
+        )
+        return out
+
+    def postprocess(self, batch, rng):
+        bs = len(batch["text"])
+        itm = np.ones(bs, np.int32)
+        if self.itm_probability > 0 and bs > 1:
+            orig = batch["text"].copy()  # negatives come from ORIGINAL rows
+            for i in range(bs):
+                if rng.rand() >= self.itm_probability:
+                    continue
+                j = rng.randint(bs - 1)
+                j += j >= i  # uniform over the other rows
+                if not np.array_equal(orig[i], orig[j]):
+                    batch["text"][i] = orig[j]
+                    itm[i] = 0
+        batch["itm_labels"] = itm
+        if self.mlm_collator is not None:
+            self.mlm_collator.rng = rng
+            masked, labels = self.mlm_collator(batch["text"])
+            batch["text_masked"] = masked.astype(np.int32)
+            batch["mlm_labels"] = labels.astype(np.int32)
+        return batch

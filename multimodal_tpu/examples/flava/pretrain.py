@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 from typing import Any, Dict, Iterator
 
 import jax
@@ -146,7 +147,9 @@ def build_text_transform(cfg: Dict[str, Any]):
 
 
 def real_batches(cfg: Dict[str, Any], start_step: int = 0):
-    """VLDataModule over an on-disk dataset (reference VLDataModule analog).
+    """VLDataModule over an on-disk dataset (reference VLDataModule analog),
+    or a StreamingVLDataModule when ``data.path`` points at webdataset tar
+    shards (a ``.tar`` glob/dir — the pod-scale streaming input).
 
     ``start_step`` (the restored ``state["step"]`` on auto-resume) fast-
     forwards the stream so a resumed run continues on exactly the batches
@@ -158,7 +161,11 @@ def real_batches(cfg: Dict[str, Any], start_step: int = 0):
     from multimodal_tpu.transforms.flava_transform import FLAVAImageTransform
 
     d, m = cfg["data"], cfg["model"]
-    dataset = load_dataset(d["path"], split="train")
+    streaming = ".tar" in str(d["path"]) or (
+        os.path.isdir(str(d["path"]))
+        and any(f.endswith(".tar") for f in os.listdir(str(d["path"])))
+    )
+    dataset = None if streaming else load_dataset(d["path"], split="train")
     n_patches = m["image_size"] // m["patch_size"]
     mask_patches = max(1, round(75 / 196 * n_patches * n_patches))
     flava_transform = FLAVAImageTransform(
@@ -181,17 +188,33 @@ def real_batches(cfg: Dict[str, Any], start_step: int = 0):
         mlm_probability=d["mlm_probability"], special_token_ids=(0, 101, 102),
         ignore_index=-1,
     )
-    dm = VLDataModule(
-        dataset,
-        image_transform=image_transform,
-        text_transform=build_text_transform(cfg),
-        mlm_collator=collator,
-        itm_probability=d["itm_probability"],
-        batch_size=d["batch_size"],
-        seed=d["seed"],
-        image_key=d["image_key"],
-        text_key=d["text_key"],
-    )
+    if streaming:
+        from multimodal_tpu.data.webdataset import StreamingVLDataModule
+
+        dm = StreamingVLDataModule(
+            d["path"],
+            image_transform=image_transform,
+            text_transform=build_text_transform(cfg),
+            mlm_collator=collator,
+            itm_probability=d["itm_probability"],
+            batch_size=d["batch_size"],
+            seed=d["seed"],
+            shuffle_buffer=d.get("shuffle_buffer", 1000),
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+    else:
+        dm = VLDataModule(
+            dataset,
+            image_transform=image_transform,
+            text_transform=build_text_transform(cfg),
+            mlm_collator=collator,
+            itm_probability=d["itm_probability"],
+            batch_size=d["batch_size"],
+            seed=d["seed"],
+            image_key=d["image_key"],
+            text_key=d["text_key"],
+        )
     return dm.train_batches(start_step=start_step)
 
 

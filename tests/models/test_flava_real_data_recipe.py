@@ -130,3 +130,61 @@ def test_flava_pretrain_on_real_dataset(tmp_path):
     assert np.isfinite(records[0]["mmm_image_loss"])
     assert np.isfinite(records[0]["loss"])
     assert records[0].get("nonfinite_skipped", 0.0) == 0.0
+
+
+def _write_tar_dataset(tmp_path, n_shards=2, per_shard=8):
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for s in range(n_shards):
+        with tarfile.open(shard_dir / f"train-{s:04d}.tar", "w") as tf:
+            for i in range(per_shard):
+                k = f"{s:03d}{i:03d}"
+                buf = io.BytesIO()
+                Image.fromarray(
+                    rng.randint(0, 256, (48, 40, 3), dtype=np.uint8)
+                ).save(buf, format="PNG")
+                for ext, blob in (
+                    ("png", buf.getvalue()),
+                    ("txt", f"a photo of thing {k}".encode()),
+                ):
+                    info = tarfile.TarInfo(f"{k}.{ext}")
+                    info.size = len(blob)
+                    tf.addfile(info, io.BytesIO(blob))
+    return str(shard_dir)
+
+
+@pytest.mark.slow
+def test_flava_pretrain_on_webdataset_stream(tmp_path):
+    """The same recipe trains straight from webdataset tar shards
+    (data.path=dir-of-.tar -> StreamingVLDataModule with in-batch ITM
+    negatives), exercising the pod-scale streaming input end to end."""
+    shard_dir = _write_tar_dataset(tmp_path)
+    cfg = build_config(
+        CONFIG,
+        overrides=[
+            "train.steps=2",
+            f"train.log_dir={tmp_path}",
+            f"data.path={shard_dir}",
+            "data.batch_size=8",
+            "data.shuffle_buffer=8",
+        ],
+        defaults=DEFAULTS,
+    )
+    first = next(iter(real_batches(cfg)))
+    s = cfg["model"]["image_size"]
+    assert first["image"].shape == (8, s, s, 3)
+    assert set(first) >= {"text", "text_masked", "mlm_labels", "itm_labels"}
+
+    trainer, state = build_trainer_and_state(cfg)
+    state = trainer.fit(state, real_batches(cfg), num_steps=2)
+    assert int(state["step"]) == 2
+    records = [
+        json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert np.isfinite(records[0]["loss"])
