@@ -215,6 +215,13 @@ def real_batches(cfg: Dict[str, Any], start_step: int = 0):
             image_key=d["image_key"],
             text_key=d["text_key"],
         )
+        if jax.process_count() > 1:
+            # pod run: this host loads only its strided slice of each epoch
+            # (batch_size above is the PER-HOST size; Trainer assembles the
+            # global batch via make_array_from_process_local_data)
+            from multimodal_tpu.data.multihost import HostShardedDataModule
+
+            dm = HostShardedDataModule(dm)
     return dm.train_batches(start_step=start_step)
 
 
