@@ -71,6 +71,7 @@ class LongContextLM(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         attention_mask: Optional[jnp.ndarray] = None,
         use_cache: bool = False,
+        segment_ids: Optional[jnp.ndarray] = None,
     ):
         """Training/eval forward (defaults), or incremental decode when a
         preallocated ``past_key_values`` + ``cache_index`` is given (the
@@ -80,6 +81,8 @@ class LongContextLM(nn.Module):
         b, s = tokens.shape
         if past_key_values is not None and self.cp_axis_name is not None:
             raise ValueError("KV-cache decode does not compose with cp")
+        if segment_ids is not None and self.cp_axis_name is not None:
+            raise ValueError("packed segment_ids do not compose with cp yet")
         x = nn.Embed(
             self.vocab_size, self.d_model, param_dtype=self.param_dtype,
             name="tok_embed",
@@ -141,6 +144,7 @@ class LongContextLM(nn.Module):
             deterministic=deterministic,
             cache_index=cache_index,
             rope_positions=rope_positions,
+            segment_ids=segment_ids,
         )
         h = out.last_hidden_state
 
@@ -163,3 +167,25 @@ def next_token_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     logp = nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
+
+
+def packed_next_token_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+) -> jnp.ndarray:
+    """Next-token loss over a PACKED batch (``data/packing.py``).
+
+    Callers feed the model ``tokens[:, :-1]`` with
+    ``segment_ids[:, :-1]`` and pass ``tokens[:, 1:]`` /
+    ``segment_ids`` here. A position contributes only when its target is
+    the next token of the SAME document (segment unchanged across the
+    boundary) and is not padding — predictions never cross documents or
+    score pad positions."""
+    valid = (segment_ids[:, :-1] == segment_ids[:, 1:]) & (
+        segment_ids[:, 1:] > 0
+    )
+    logp = nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / denom

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from multimodal_tpu.examples.long_context.model import LongContextLM, next_token_loss
+from multimodal_tpu.examples.long_context.model import (
+    LongContextLM,
+    next_token_loss,
+    packed_next_token_loss,
+)
 from multimodal_tpu.modules.layers.moe import moe_aux_loss
 from multimodal_tpu.parallel.mesh import create_mesh
 from multimodal_tpu.training.trainer import Trainer
@@ -60,6 +64,39 @@ def synthetic_tokens(vocab_size: int, n: int, seed: int = 0) -> np.ndarray:
     return np.random.RandomState(seed).randint(vocab_size, size=n).astype(np.int32)
 
 
+def packed_document_batches(
+    docs_path: Optional[str],
+    vocab_size: int,
+    seq_len: int,
+    batch_size: int,
+    seed: int = 0,
+) -> Iterator[dict]:
+    """Packed batches from a jsonl of per-document token-id lists (or a
+    synthetic ragged document stream) via ``data/packing.pack_documents``;
+    the extra +1 column keeps the recipe's shift-by-one loss layout."""
+    import json
+
+    from multimodal_tpu.data.packing import packed_batches
+
+    def doc_stream():
+        if docs_path:
+            while True:  # infinite epochs over the file
+                with open(docs_path) as f:
+                    for line in f:
+                        ids = json.loads(line)
+                        if isinstance(ids, dict):
+                            ids = ids["tokens"]
+                        yield ids
+        else:
+            rng = np.random.RandomState(seed)
+            while True:
+                n = int(rng.randint(seq_len // 8, seq_len))
+                yield rng.randint(1, vocab_size, size=n).astype(np.int32)
+
+    for b in packed_batches(doc_stream(), seq_len + 1, batch_size):
+        yield b
+
+
 def build_trainer(
     model: LongContextLM,
     mesh,
@@ -72,18 +109,34 @@ def build_trainer(
     def loss_fn(params, batch, rng):
         inputs = batch["tokens"][:, :-1]
         targets = batch["tokens"][:, 1:]
+        # packed batches (data/packing.py) carry segment_ids + per-document
+        # positions: block-diagonal causal attention via the flash kernel's
+        # O(S) segment path, loss masked at document boundaries
+        packed = "segment_ids" in batch
+        kwargs = {}
+        if packed:
+            kwargs = dict(
+                segment_ids=batch["segment_ids"][:, :-1],
+                positions=batch["positions"][:, :-1],
+            )
         if model.moe_num_experts:
             logits, inter = model.apply(
                 params, inputs, deterministic=False, rngs={"dropout": rng},
-                mutable=["intermediates"],
+                mutable=["intermediates"], **kwargs,
             )
             aux = moe_aux_loss(inter["intermediates"])
         else:
             logits = model.apply(
                 params, inputs, deterministic=False, rngs={"dropout": rng},
+                **kwargs,
             )
             aux = 0.0
-        loss = next_token_loss(logits, targets)
+        if packed:
+            loss = packed_next_token_loss(
+                logits, targets, batch["segment_ids"]
+            )
+        else:
+            loss = next_token_loss(logits, targets)
         metrics = {"perplexity": jnp.exp(loss)}
         if model.moe_num_experts:
             metrics["moe_aux"] = aux
@@ -103,6 +156,10 @@ def build_trainer(
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tokens", default=None, help=".npy/.bin int32 token stream")
+    p.add_argument("--packed-docs", default=None,
+                   help="jsonl of per-document token-id lists -> packed "
+                        "training (segment-id attention, boundary-masked "
+                        "loss); 'synthetic' for a generated ragged stream")
     p.add_argument("--vocab-size", type=int, default=32000)
     p.add_argument("--seq-len", type=int, default=8192)
     p.add_argument("--batch-size", type=int, default=8)
@@ -142,14 +199,22 @@ def main(argv=None):
         dtype=dtype,
     )
 
-    if args.tokens:
-        stream = np.load(args.tokens, mmap_mode="r") if args.tokens.endswith(".npy") \
-            else np.memmap(args.tokens, dtype=np.int32)
+    if args.packed_docs:
+        if args.cp > 1:
+            raise SystemExit("--packed-docs does not compose with --cp yet")
+        data = packed_document_batches(
+            None if args.packed_docs == "synthetic" else args.packed_docs,
+            args.vocab_size, args.seq_len, args.batch_size,
+        )
     else:
-        stream = synthetic_tokens(args.vocab_size, args.batch_size * args.seq_len * 64)
-    data = token_batches(
-        TokenWindowDataset(stream, args.seq_len), args.batch_size
-    )
+        if args.tokens:
+            stream = np.load(args.tokens, mmap_mode="r") if args.tokens.endswith(".npy") \
+                else np.memmap(args.tokens, dtype=np.int32)
+        else:
+            stream = synthetic_tokens(args.vocab_size, args.batch_size * args.seq_len * 64)
+        data = token_batches(
+            TokenWindowDataset(stream, args.seq_len), args.batch_size
+        )
 
     trainer = build_trainer(
         model, mesh, learning_rate=args.lr,

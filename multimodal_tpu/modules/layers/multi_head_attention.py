@@ -227,7 +227,22 @@ class MultiHeadAttentionWithCache(nn.Module):
         deterministic: bool = True,
         cache_index: Optional[jnp.ndarray] = None,
         rope_positions: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
     ):
+        """``segment_ids`` ((b, s) int32): packed-sequence self-attention —
+        positions attend only within their segment, composed with
+        ``is_causal`` (block-diagonal causal). O(S) through the flash
+        kernel's blockwise segment masking; training-shape only (no cache,
+        no cp)."""
+        if segment_ids is not None and (
+            past_key_value is not None or use_cache or cache_index is not None
+        ):
+            raise ValueError("segment_ids are a training-shape feature "
+                             "(no KV cache)")
+        if segment_ids is not None and self.cp_axis_name is not None:
+            raise ValueError(
+                "segment_ids do not compose with context parallelism yet"
+            )
         dense = lambda d, name: nn.Dense(
             d, use_bias=self.add_bias, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -327,6 +342,7 @@ class MultiHeadAttentionWithCache(nn.Module):
         attn = scaled_dot_product_attention(
             q, k, v, mask=mask, bias=bias, is_causal=is_causal,
             dropout_rate=rate, dropout_rng=dropout_rng,
+            segment_ids=segment_ids,
         )
         out = dense(self.dim_q, "output_proj")(_merge_heads(attn))
         if use_cache:

@@ -303,6 +303,7 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
         cache_index: Optional[jnp.ndarray] = None,
         rope_positions: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
         drop = lambda t: self.residual_dropout(t, deterministic=deterministic)
         x = hidden_states
@@ -314,6 +315,7 @@ class TransformerDecoderLayer(nn.Module):
                 past_key_value=past_key_value, is_causal=is_causal,
                 use_cache=use_cache, deterministic=deterministic,
                 cache_index=cache_index, rope_positions=rope_positions,
+                segment_ids=segment_ids,
             )
             if use_cache:
                 return out.attn_output, out.past_key_value
@@ -389,6 +391,7 @@ class TransformerDecoder(nn.Module):
         deterministic: bool = True,
         cache_index: Optional[jnp.ndarray] = None,
         rope_positions: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
     ) -> TransformerOutput:
         layer_cls = TransformerDecoderLayer
         if self.remat:
@@ -434,6 +437,7 @@ class TransformerDecoder(nn.Module):
                 deterministic,
                 cache_index,
                 rope_positions,
+                segment_ids,
             )
             if use_cache and present_kv is not None:
                 current_key_values.append(present_kv)

@@ -50,6 +50,7 @@ def scaled_dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     sm_scale: Optional[float] = None,
     return_probs: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray | Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-head attention over ``(batch, heads, seq, head_dim)`` tensors.
 
@@ -59,15 +60,35 @@ def scaled_dot_product_attention(
         is_causal: apply lower-triangular causal masking.
         dropout_rate/dropout_rng: attention-prob dropout (XLA path only).
         return_probs: also return the post-softmax probabilities.
+        segment_ids: (b, s) int32 ids for packed self-attention (sq == sk):
+            positions attend only within their segment (composes with
+            ``is_causal`` — block-diagonal causal, the packed-document
+            layout). O(S) storage on the flash path, so the blockwise
+            backward survives; the XLA path expands to a boolean mask.
     """
+    if segment_ids is not None:
+        if q.shape[-2] != k.shape[-2]:
+            raise ValueError("segment_ids require self-attention (sq == sk)")
     # A boolean key-padding mask (broadcast shape (b, 1, 1, sk) — every
     # BERT-style tower's padded-text mask) converts to O(S) segment ids so
     # the flash path keeps its blockwise Pallas backward; anything
     # richer becomes an additive bias (flash falls back to an XLA-recompute
     # backward with a bias, so only take the segment route when it applies).
     q_segment_ids = kv_segment_ids = None
+    if segment_ids is not None:
+        segment_ids = segment_ids.astype(jnp.int32)
+        if mask is None and bias is None:
+            q_segment_ids = kv_segment_ids = segment_ids
+        else:
+            # composing with an explicit mask/bias: expand to a boolean mask
+            # (the flash seg route would drop the extra mask)
+            seg_mask = (
+                segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+            )
+            mask = seg_mask if mask is None else mask & seg_mask
     if (
-        mask is not None
+        segment_ids is None
+        and mask is not None
         and bias is None
         and mask.dtype == jnp.bool_
         and mask.ndim == 4
@@ -114,6 +135,12 @@ def scaled_dot_product_attention(
     s = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32) * scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
+    if q_segment_ids is not None:
+        # short-seq fallback for the packed layout: dense segment mask
+        allowed = (
+            q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
+        )
+        s = jnp.where(allowed, s, DEFAULT_MASK_VALUE)
     if is_causal:
         sq, sk = s.shape[-2], s.shape[-1]
         causal = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)

@@ -173,3 +173,49 @@ def test_key_padding_mask_dispatches_to_segment_flash(monkeypatch):
     mask = jnp.broadcast_to(kp[:, None, None, :], (b, h, s, s))
     ref, _ = _dense_reference(q, k, v, mask=mask)
     assert_expected(out, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_segment_ids_through_dispatch(monkeypatch, causal):
+    """Explicit packed-document segment_ids= through
+    scaled_dot_product_attention: the flash route gets O(S) ids (no dense
+    bias), matches the dense block-diagonal(-causal) reference, and the
+    XLA fallback (no force flag) agrees."""
+    import multimodal_tpu.ops.attention as attn_mod
+
+    key = jax.random.PRNGKey(7)
+    b, h, s, d = 2, 2, 48, 16
+    q, k, v = _random_qkv(key, b, h, s, d)
+    # packed rows: docs of different lengths + trailing padding (id 0)
+    seg = jnp.asarray(
+        np.stack([
+            [1] * 20 + [2] * 20 + [0] * 8,
+            [1] * 11 + [2] * 17 + [3] * 20,
+        ]).astype(np.int32)
+    )
+
+    mask = (seg[:, None, :, None] == seg[:, None, None, :])
+    ref, _ = _dense_reference(q, k, v, mask=mask, causal=causal)
+
+    # XLA fallback path
+    out_xla = attn_mod.scaled_dot_product_attention(
+        q, k, v, is_causal=causal, segment_ids=seg
+    )
+    assert_expected(out_xla, ref, atol=2e-5, rtol=2e-5)
+
+    # forced flash path: ids reach the kernel, bias stays None
+    monkeypatch.setenv("MMTPU_FORCE_FLASH", "1")
+    calls = {}
+    orig = attn_mod.flash_attention
+
+    def spy(*args, **kwargs):
+        calls["args"] = args
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(attn_mod, "flash_attention", spy)
+    out_flash = attn_mod.scaled_dot_product_attention(
+        q, k, v, is_causal=causal, segment_ids=seg
+    )
+    assert calls["args"][3] is None, "dense bias used for packed ids"
+    assert calls["args"][6] is not None
+    assert_expected(out_flash, ref, atol=2e-5, rtol=2e-5)
