@@ -104,6 +104,12 @@ class DataModule:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        # Per-batch rng salt. The SEED must be shared across hosts (the epoch
+        # permutation has to agree pod-wide), but per-batch draws (MLM mask
+        # positions, ITM swap coins, augmentations) must NOT repeat on every
+        # host — multihost wrappers set this to jax.process_index() so each
+        # host's slice of the global batch gets independent randomness.
+        self.rng_salt = 0
 
     # -- override points ---------------------------------------------------
     def process(self, sample: Dict[str, Any], rng: np.random.RandomState) -> Dict[str, np.ndarray]:
@@ -140,7 +146,7 @@ class DataModule:
             chunk = idx[start : start + bs]
             if self.drop_last and len(chunk) < bs:
                 break
-            rng = np.random.RandomState((self.seed, epoch, start))
+            rng = np.random.RandomState((self.seed, epoch, start, self.rng_salt))
             samples = [self.process(self.dataset[int(i)], rng) for i in chunk]
             yield self.postprocess(self.collate(samples), rng)
 

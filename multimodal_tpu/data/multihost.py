@@ -110,6 +110,9 @@ class HostShardedDataModule:
         # monkey-patch-free: shadow the index source the base class uses
         self._orig_epoch_indices = inner._epoch_indices
         inner._epoch_indices = self._sharded_epoch_indices
+        # decorrelate per-batch draws (masking/aug) across hosts while the
+        # shared seed keeps the epoch permutation pod-wide identical
+        inner.rng_salt = self.process_index
 
     def _sharded_epoch_indices(self, epoch: int) -> np.ndarray:
         idx = self._orig_epoch_indices(epoch)

@@ -98,13 +98,31 @@ def packed_batches(
     docs: Iterable[Sequence[int]],
     seq_len: int,
     batch_size: int,
+    drop_last: bool = False,
     **kwargs,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream fixed-shape packed batches from a document iterator."""
+    """Stream fixed-shape packed batches from a document iterator.
+
+    When the (finite) iterator ends, the remaining buffered documents are
+    still packed; with ``drop_last=False`` (default) a final batch is
+    emitted, padded to ``batch_size`` with all-zero rows (``segment_ids==0``
+    marks them as padding — the packed losses already mask those positions).
+    With ``drop_last=True`` the tail is discarded instead and the number of
+    dropped rows is logged — either way the semantics are explicit, never a
+    silent drop."""
     buf: List[Sequence[int]] = []
     pending: Dict[str, List[np.ndarray]] = {
         "tokens": [], "segment_ids": [], "positions": []
     }
+
+    def _drain():
+        while len(pending["tokens"]) >= batch_size:
+            yield {
+                k: np.stack(v[:batch_size]) for k, v in pending.items()
+            }
+            for k in pending:
+                pending[k] = pending[k][batch_size:]
+
     for doc in docs:
         buf.append(doc)
         if len(buf) < batch_size:  # pack in batch-sized document groups
@@ -113,11 +131,28 @@ def packed_batches(
         buf = []
         for key in pending:
             pending[key].extend(packed[key])
-        while len(pending["tokens"]) >= batch_size:
-            yield {
-                k: np.stack(v[:batch_size]) for k, v in pending.items()
-            }
-            pending = {k: v[batch_size:] for k, v in pending.items()}
+        yield from _drain()
+
+    # tail: pack whatever documents remain, then flush pending rows
+    if buf:
+        packed = pack_documents(buf, seq_len, **kwargs)
+        for key in pending:
+            pending[key].extend(packed[key])
+    yield from _drain()
+    n_left = len(pending["tokens"])
+    if n_left:
+        if drop_last:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "packed_batches: dropped %d tail rows (drop_last=True)", n_left
+            )
+        else:
+            pad = batch_size - n_left
+            zero = np.zeros(seq_len, np.int32)
+            for k in pending:
+                pending[k].extend([zero.copy() for _ in range(pad)])
+            yield {k: np.stack(v) for k, v in pending.items()}
 
 
 def packing_efficiency(segment_ids: np.ndarray) -> float:

@@ -138,6 +138,9 @@ class IterableDataModule:
         self.seed = seed
         self.prefetch = prefetch
         self.decode = decode
+        # shared seed keeps shard assignment/permutation pod-consistent; the
+        # per-batch salt decorrelates mask/aug draws across hosts
+        self.rng_salt = process_index
 
     # -- override points (same contract as DataModule) ---------------------
     def process(self, sample: Dict[str, Any], rng: np.random.RandomState) -> Dict[str, np.ndarray]:
@@ -190,7 +193,9 @@ class IterableDataModule:
                 continue
             # per-batch rng (seed, epoch, batch): augmentation identical
             # whether or not earlier batches were skipped on resume
-            rng = np.random.RandomState((self.seed, epoch, 1 + n_batch))
+            rng = np.random.RandomState(
+                (self.seed, epoch, 1 + n_batch, self.rng_salt)
+            )
             samples = [self.process(s, rng) for s in batch_raw]
             yield self.postprocess(self.collate(samples), rng)
         # drop_last semantics: ragged tail discarded (static shapes)

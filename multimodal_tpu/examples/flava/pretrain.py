@@ -161,10 +161,19 @@ def real_batches(cfg: Dict[str, Any], start_step: int = 0):
     from multimodal_tpu.transforms.flava_transform import FLAVAImageTransform
 
     d, m = cfg["data"], cfg["model"]
-    streaming = ".tar" in str(d["path"]) or (
-        os.path.isdir(str(d["path"]))
-        and any(f.endswith(".tar") for f in os.listdir(str(d["path"])))
-    )
+    # streaming iff the path actually resolves to .tar shards: an explicit
+    # flag, a .tar file/glob match, or a directory containing .tar members
+    # (plain ".tar in path" would false-positive on e.g. dataset.tar.gz)
+    path = str(d["path"])
+    if d.get("streaming") is not None:
+        streaming = bool(d["streaming"])
+    elif os.path.isdir(path):
+        streaming = any(f.endswith(".tar") for f in os.listdir(path))
+    else:
+        import glob as _glob
+
+        matches = _glob.glob(path) if any(c in path for c in "*?[") else [path]
+        streaming = bool(matches) and all(m.endswith(".tar") for m in matches)
     dataset = None if streaming else load_dataset(d["path"], split="train")
     n_patches = m["image_size"] // m["patch_size"]
     mask_patches = max(1, round(75 / 196 * n_patches * n_patches))
@@ -403,10 +412,14 @@ def main(argv=None) -> None:
             for fn in _fns:
                 merged.update(fn(params))
             return merged
+    # On auto-resume, train only the REMAINING steps: the restored step plus
+    # num_steps must land on the configured total or the cosine schedule
+    # overshoots and interrupted != uninterrupted at the recipe level.
+    remaining = max(0, int(cfg["train"]["steps"]) - int(state["step"]))
     state = trainer.fit(
         state,
         data,
-        num_steps=cfg["train"]["steps"],
+        num_steps=remaining,
         checkpoint_every=cfg["train"]["checkpoint_every"],
         eval_fn=eval_fn,
         eval_every=cfg["train"].get("eval_every"),
