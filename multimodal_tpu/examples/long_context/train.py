@@ -153,6 +153,33 @@ def build_trainer(
     )
 
 
+def build_pp_trainer(
+    plm,
+    mesh,
+    learning_rate: float = 3e-4,
+    weight_decay: float = 0.1,
+    checkpoint_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
+) -> Trainer:
+    """Trainer over a dp × pp mesh: the FULL model (embed + blocks + head)
+    runs as a heterogeneous pipeline (``pipeline_model.PipelinedLM``), the
+    stage-block params sharded P(None, 'pp') by the custom shard_fn."""
+
+    def loss_fn(params, batch, rng):
+        loss = plm.loss_fn(params, batch["tokens"])
+        return loss, {"perplexity": jnp.exp(loss)}
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
+    return Trainer(
+        loss_fn, tx, strategy="custom", shard_fn=plm.param_shardings,
+        mesh=mesh, checkpoint_dir=checkpoint_dir, log_dir=log_dir,
+        skip_nonfinite_updates=True,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tokens", default=None, help=".npy/.bin int32 token stream")
@@ -170,6 +197,14 @@ def main(argv=None):
     p.add_argument("--fsdp", type=int, default=-1)
     p.add_argument("--cp", type=int, default=1)
     p.add_argument("--ep", type=int, default=1)
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages (heterogeneous embed/blocks/head "
+                        "pipeline; composes with --dp)")
+    p.add_argument("--pp-virtual", type=int, default=1,
+                   help="virtual chunks per pp device (interleaved circular "
+                        "schedule; bubble (S-1)/(V*M+S-1))")
+    p.add_argument("--pp-microbatches", type=int, default=0,
+                   help="pipeline microbatches (default: = --pp)")
     p.add_argument("--moe-experts", type=int, default=0,
                    help="0 = dense; N = MoE with N experts")
     p.add_argument("--moe-top-k", type=int, default=2)
@@ -181,8 +216,47 @@ def main(argv=None):
     p.add_argument("--log-dir", default=None)
     args = p.parse_args(argv)
 
-    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=1, cp=args.cp, ep=args.ep)
+    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=1, cp=args.cp,
+                       ep=args.ep, pp=args.pp)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    if args.pp > 1:
+        if args.cp > 1 or args.ep > 1 or args.packed_docs:
+            raise SystemExit("--pp composes with --dp only (cp/ep/packed "
+                             "ride the non-pipelined path)")
+        from multimodal_tpu.examples.long_context.pipeline_model import (
+            PipelinedLM,
+        )
+
+        plm = PipelinedLM(
+            vocab_size=args.vocab_size, max_seq_len=args.seq_len,
+            n_layer=args.n_layer, d_model=args.d_model, n_head=args.n_head,
+            dim_feedforward=4 * args.d_model, mesh=mesh,
+            n_virtual=args.pp_virtual,
+            n_micro=args.pp_microbatches or args.pp,
+            dtype=dtype,
+        )
+        if args.tokens:
+            stream = np.load(args.tokens, mmap_mode="r") \
+                if args.tokens.endswith(".npy") \
+                else np.memmap(args.tokens, dtype=np.int32)
+        else:
+            stream = synthetic_tokens(
+                args.vocab_size, args.batch_size * args.seq_len * 64
+            )
+        data = token_batches(
+            TokenWindowDataset(stream, args.seq_len), args.batch_size
+        )
+        trainer = build_pp_trainer(
+            plm, mesh, learning_rate=args.lr,
+            checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
+        )
+        state = trainer.restore_or_init(plm.init(jax.random.PRNGKey(0)))
+        state = trainer.fit(
+            state, data, num_steps=args.steps,
+            checkpoint_every=500 if args.checkpoint_dir else None,
+        )
+        return state
     model = LongContextLM(
         vocab_size=args.vocab_size,
         max_seq_len=args.seq_len,

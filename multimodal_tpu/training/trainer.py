@@ -86,6 +86,7 @@ class Trainer:
         checkpoint_on_preemption: bool = False,
         mutable_state: bool = False,
         multihost: Optional[bool] = None,
+        shard_fn: Optional[Callable] = None,
     ):
         """``mutable_state=True`` supports models with non-trainable mutable
         collections (BatchNorm running stats, EMA buffers): the loss
@@ -93,8 +94,15 @@ class Trainer:
         (loss, aux, new_model_state)`` and the updated collections ride the
         train state untouched by the optimizer (the analog of torch's
         buffer/parameter split — buffers must never see weight decay)."""
-        if strategy not in ("ddp", "fsdp", "tp"):
+        if strategy not in ("ddp", "fsdp", "tp", "custom"):
             raise ValueError(f"unknown strategy {strategy}")
+        if strategy == "custom" and shard_fn is None:
+            raise ValueError("strategy='custom' requires shard_fn")
+        # ``shard_fn(params, mesh) -> sharding tree`` lets models with
+        # bespoke param layouts (e.g. the pipeline-parallel stage dict:
+        # blocks P(None,'pp'), embed/head replicated) train through the
+        # same fit loop as ddp/fsdp/tp models.
+        self.shard_fn = shard_fn
         self.loss_fn = loss_fn
         self.mutable_state = mutable_state
         if grad_accum_steps > 1:
@@ -134,7 +142,9 @@ class Trainer:
         self._preempted = True
 
     def shard_params(self, params: Any) -> Tuple[Any, Any]:
-        if self.strategy == "tp":
+        if self.shard_fn is not None:
+            shardings = self.shard_fn(params, self.mesh)
+        elif self.strategy == "tp":
             # Megatron-style tensor parallelism over the mesh's tp axis
             # (fsdp rides the other kernel dim; see parallel/sharding.py)
             from multimodal_tpu.parallel.sharding import tp_sharding
