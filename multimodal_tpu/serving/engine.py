@@ -316,6 +316,9 @@ class InferenceEngine:
         sinks: int = 4,
         conditioning_spec: Optional[Any] = None,
         kv_prefix_len: Optional[int] = None,
+        draft_model: Optional[Any] = None,
+        draft_params: Optional[Any] = None,
+        gamma: int = 4,
     ):
         self.model = model
         self.params = params
@@ -416,6 +419,44 @@ class InferenceEngine:
         self._served_slot_ticks = 0  # live slots x ticks, for occupancy
         self._finished = 0
         self._tokens_out = 0
+        # ---- speculative decoding (in-engine, lossless) -----------------
+        # A draft LM proposes ``gamma`` tokens per slot per round; the
+        # target verifies the whole window in ONE forward; acceptance is
+        # the exact rejection rule (serving/speculative.py:
+        # ``speculative_acceptance``) so sampled requests keep their exact
+        # target distribution and greedy requests are token-identical to
+        # plain decoding. Speculative and plain (greedy/sampled) requests
+        # share the continuous batch — acceptance is per-slot.
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.gamma = gamma
+        self._spec_rounds = 0
+        self._spec_accepted = 0  # accepted DRAFT tokens (excl. bonus)
+        if draft_model is not None:
+            unsupported = [
+                name for name, flag in (
+                    ("window", window is not None),
+                    ("conditioning_spec", conditioning_spec is not None),
+                    ("kv_prefix_len", kv_prefix_len is not None),
+                    ("prefill_chunk", prefill_chunk is not None),
+                    ("cache_dtype='int8'", cache_dtype == "int8"),
+                    ("adapters", adapters is not None),
+                ) if flag
+            ]
+            if unsupported:
+                raise ValueError(
+                    "speculative decoding does not compose with "
+                    + ", ".join(unsupported)
+                )
+            d_layer = draft_model.n_layer
+            d_head = getattr(draft_model, "n_kv_head", None) or draft_model.n_head
+            d_dim = draft_model.d_model // draft_model.n_head
+            d_shape = (n_slots + 1, d_head, self.cache_len, d_dim)
+            self.draft_cache = tuple(
+                (jnp.zeros(d_shape, cache_dtype),
+                 jnp.zeros(d_shape, cache_dtype))
+                for _ in range(d_layer)
+            )
 
     def _adapter_id(self, name: Optional[str]) -> int:
         if name is None:
@@ -695,6 +736,128 @@ class InferenceEngine:
         )
         return toks, cache  # toks: (decode_steps, n_slots)
 
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _prefill_draft(self, d_params, d_cache, tokens, slots):
+        """Causal draft forward of the admission batch's padded prompts,
+        KV block-written into the draft cache's slot rows (mirror of
+        ``_prefill`` minus sampling/adapters)."""
+        _logits, kvs = self.draft_model.apply(
+            d_params, tokens, use_cache=True
+        )
+        bucket = tokens.shape[1]
+        return tuple(
+            (_kv_set_rows(ck, k, slots, bucket),
+             _kv_set_rows(cv, v, slots, bucket))
+            for (ck, cv), (k, v) in zip(d_cache, kvs)
+        )
+
+    def _probs(self, logits, sampling, use_filters: bool = True):
+        """Per-row NEXT-TOKEN DISTRIBUTIONS under the same warping as
+        ``_sample`` (temperature, then top-k/top-p); greedy rows
+        (temperature == 0) become one-hot argmax. The speculative paths
+        need the distribution itself — proposals must be sampled from it
+        and the acceptance rule compares it against the target's."""
+        logits = logits.astype(jnp.float32)
+        temperature = sampling[:, 0]
+        onehot = jax.nn.one_hot(
+            jnp.argmax(logits, axis=-1), logits.shape[-1], dtype=jnp.float32
+        )
+        scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+        if use_filters:
+            scaled = filter_logits_per_row(
+                scaled, sampling[:, 1].astype(jnp.int32), sampling[:, 2]
+            )
+        probs = jax.nn.softmax(scaled, axis=-1)
+        return jnp.where(temperature[:, None] > 0, probs, onehot)
+
+    @partial(jax.jit, static_argnums=(0, 11), donate_argnums=(3, 4))
+    def _spec_decode(self, params, d_params, cache, d_cache, tokens,
+                     positions, advance, sampling, rng, lora,
+                     filters_on=True):
+        """``decode_steps`` speculative ROUNDS fused into one device call.
+        Each round: the draft proposes ``gamma`` tokens per slot (gamma+1
+        cheap forwards — the extra tick writes the last proposal's KV row
+        so full acceptance leaves no cache hole), the target scores the
+        whole window in ONE forward, and the per-slot rejection rule emits
+        1..gamma+1 tokens whose distribution is exactly the target's.
+        Returns (emitted (rounds, b, gamma+1), counts (rounds, b), caches).
+        """
+        from multimodal_tpu.serving.speculative import speculative_acceptance
+
+        g = self.gamma
+        b = tokens.shape[0]
+
+        def round_fn(carry, round_rng):
+            tokens, positions, cache, d_cache = carry
+            # clamp so a finishing slot's overshoot stays inside its own row
+            pos0 = jnp.minimum(positions, self.cache_len - 1 - g)
+            rng_d, rng_a = jax.random.split(round_rng)
+
+            def d_tick(c, tick_rng):
+                tok, pos, dc = c
+                mask = (
+                    jnp.arange(self.cache_len)[None, None, None, :]
+                    <= pos[:, None, None, None]
+                )
+                logits, dc = self.draft_model.apply(
+                    d_params, tok[:, None], positions=pos[:, None],
+                    past_key_values=dc, cache_index=pos,
+                    attention_mask=mask, use_cache=True,
+                )
+                probs = self._probs(
+                    logits[:, 0], sampling, use_filters=filters_on
+                )
+                nxt = jax.random.categorical(
+                    tick_rng, jnp.log(jnp.maximum(probs, 1e-38)), axis=-1
+                ).astype(jnp.int32)
+                return (nxt, pos + 1, dc), (nxt, probs)
+
+            # gamma + 1 draft ticks: the last one only lands proposal g's
+            # KV row (its own proposal is discarded)
+            (_, _, d_cache), (proposed, d_probs) = jax.lax.scan(
+                d_tick, (tokens, pos0, d_cache),
+                jax.random.split(rng_d, g + 1),
+            )
+            proposed = proposed[:g].T  # (b, g)
+            d_probs = jnp.swapaxes(d_probs[:g], 0, 1)  # (b, g, V)
+
+            window = jnp.concatenate([tokens[:, None], proposed], axis=1)
+            pos_win = pos0[:, None] + jnp.arange(g + 1)[None, :]
+            mask = (
+                jnp.arange(self.cache_len)[None, None, None, :]
+                <= pos_win[:, None, :, None]
+            )
+            logits_t, cache = self.model.apply(
+                params, window, positions=pos_win,
+                past_key_values=cache, cache_index=pos0,
+                attention_mask=mask, use_cache=True,
+            )
+            t_probs = self._probs(
+                logits_t.reshape(b * (g + 1), -1),
+                jnp.repeat(sampling, g + 1, axis=0),
+                use_filters=filters_on,
+            ).reshape(b, g + 1, -1)
+
+            emit, k = speculative_acceptance(
+                proposed, d_probs, t_probs, rng_a
+            )
+            k = jnp.where(advance > 0, k, 0)  # idle rows emit nothing
+            cur = jnp.where(
+                advance > 0,
+                jnp.take_along_axis(
+                    emit, jnp.maximum(k - 1, 0)[:, None], axis=1
+                )[:, 0],
+                tokens,
+            )
+            positions = positions + k
+            return (cur, positions, cache, d_cache), (emit, k)
+
+        rngs = jax.random.split(rng, self.decode_steps)
+        (_, _, cache, d_cache), (emits, counts) = jax.lax.scan(
+            round_fn, (tokens, positions, cache, d_cache), rngs
+        )
+        return emits, counts, cache, d_cache
+
     def _sample(self, logits, sampling, rng, use_filters: bool = True):
         """Greedy where temperature == 0, else temperature sampling with
         per-row top-k / nucleus filtering. ``sampling`` is (b, 3):
@@ -726,6 +889,23 @@ class InferenceEngine:
     # ----------------------------------------------------------------- host
     def submit(self, request: Request) -> None:
         self._adapter_id(request.adapter)  # raises on unknown name
+        if self.draft_model is not None:
+            if request.prefix is not None:
+                raise ValueError(
+                    "speculative decoding does not compose with registered "
+                    "prefixes yet (the draft cache has no prefix rows)"
+                )
+            # the last round may scribble up to gamma rows past max_new
+            if (
+                len(request.prompt) + request.max_new_tokens
+                + self.gamma + 1 > self.max_len
+            ):
+                raise ValueError(
+                    f"prompt({len(request.prompt)}) + max_new_tokens"
+                    f"({request.max_new_tokens}) + gamma+1({self.gamma + 1}) "
+                    f"exceeds max_len({self.max_len}) — speculative rounds "
+                    "need slack for the proposal window"
+                )
         if (self.kv_prefix_len is not None) != (
             request.kv_prefix is not None
         ):
@@ -931,6 +1111,13 @@ class InferenceEngine:
                         jnp.asarray(sampling), rng, self._lora,
                         jnp.asarray(adapter_ids), self.conditioning,
                     )
+                    if self.draft_model is not None:
+                        # the draft needs the same context rows before its
+                        # first proposal round
+                        self.draft_cache = self._prefill_draft(
+                            self.draft_params, self.draft_cache,
+                            jnp.asarray(tokens), jnp.asarray(slots),
+                        )
                 else:
                     self.cache, firsts = self._prefill_prefixed(
                         self.params, self.cache, pfx_kvs,
@@ -1109,6 +1296,32 @@ class InferenceEngine:
                 & ((sampling[:, 1] > 0) | (sampling[:, 2] < 1.0))
             )
         )
+        if self.draft_model is not None:
+            emits, counts, self.cache, self.draft_cache = self._spec_decode(
+                self.params, self.draft_params, self.cache, self.draft_cache,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(advance), jnp.asarray(sampling), rng, self._lora,
+                filters_on,
+            )
+            emits = np.asarray(emits)    # (rounds, b, gamma + 1)
+            counts = np.asarray(counts)  # (rounds, b)
+            self.ticks += self.decode_steps
+            self._served_slot_ticks += len(live) * self.decode_steps
+            self._spec_rounds += self.decode_steps * len(live)
+            for r in range(emits.shape[0]):
+                for i in live:
+                    if self._slots[i].free:
+                        continue  # finished in an earlier round; discard
+                    k = int(counts[r, i])
+                    self._spec_accepted += max(0, k - 1)
+                    for j in range(k):
+                        s = self._slots[i]
+                        if s.free:
+                            break
+                        s.pos += 1
+                        s.last_token = int(emits[r, i, j])
+                        self._collect(i, s.last_token)
+            return len(live)
         step_tokens, self.cache = self._decode(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(advance), jnp.asarray(sampling),
@@ -1153,4 +1366,18 @@ class InferenceEngine:
                 1 for s in self._slots if not s.free and not s.prefilling
             ),
             "prefilling_slots": sum(1 for s in self._slots if s.prefilling),
+            **(
+                {
+                    "spec_rounds": self._spec_rounds,
+                    "spec_acceptance": (
+                        self._spec_accepted / (self._spec_rounds * self.gamma)
+                        if self._spec_rounds else 0.0
+                    ),
+                    "spec_tokens_per_round": (
+                        1 + self._spec_accepted / self._spec_rounds
+                        if self._spec_rounds else 0.0
+                    ),
+                }
+                if self.draft_model is not None else {}
+            ),
         }

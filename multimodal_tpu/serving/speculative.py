@@ -222,3 +222,63 @@ class SpeculativeDecoder:
         )
         self.rounds = int(rounds)
         return np.asarray(out)[: int(n_out)].tolist()
+
+
+def speculative_acceptance(
+    proposed: jnp.ndarray,
+    draft_probs: jnp.ndarray,
+    target_probs: jnp.ndarray,
+    rng: jax.Array,
+):
+    """Lossless rejection-sampling acceptance (Leviathan et al., App. A),
+    batched over rows.
+
+    Args:
+      proposed: (b, gamma) draft tokens, each sampled from ``draft_probs``.
+      draft_probs: (b, gamma, V) the distributions the draft ACTUALLY
+        sampled from (post temperature/top-k/top-p).
+      target_probs: (b, gamma+1, V) the target's distributions at the same
+        positions (same warping).
+      rng: PRNG key.
+
+    Returns:
+      (emit, k): ``emit`` (b, gamma+1) tokens of which the first ``k[i]``
+      are valid for row i. Position j < k-1 carries an accepted proposal;
+      position k-1 carries the residual-resample (on rejection) or the
+      bonus token from the target's last distribution (full acceptance).
+      Each emitted token is EXACTLY target-distributed: accepted w.p.
+      min(1, q_t/q_d), else drawn from norm(max(q_t - q_d, 0)) — the
+      mixture is q_t. Greedy rows fall out of the same rule when both
+      probability tensors are one-hot (argmax match -> accept, mismatch ->
+      reject with the residual collapsing to the target argmax).
+    """
+    b, g = proposed.shape
+    rng_u, rng_e = jax.random.split(rng)
+    u = jax.random.uniform(rng_u, (b, g))
+    qt_i = jnp.take_along_axis(
+        target_probs[:, :g], proposed[..., None], axis=-1
+    )[..., 0]
+    qd_i = jnp.take_along_axis(draft_probs, proposed[..., None], axis=-1)[..., 0]
+    accept = (u * jnp.maximum(qd_i, 1e-20) <= qt_i).astype(jnp.int32)
+    j = jnp.sum(jnp.cumprod(accept, axis=1), axis=1)  # accepted count, 0..g
+    # residual (or bonus, when j == g) distribution at the stop position
+    qt_j = jnp.take_along_axis(
+        target_probs, j[:, None, None], axis=1
+    )[:, 0]
+    qd_pad = jnp.concatenate(
+        [draft_probs, jnp.zeros_like(draft_probs[:, :1])], axis=1
+    )
+    qd_j = jnp.take_along_axis(qd_pad, j[:, None, None], axis=1)[:, 0]
+    resid = jnp.clip(qt_j - qd_j, 0.0, None)
+    z = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(z > 1e-20, resid / jnp.maximum(z, 1e-20), qt_j)
+    extra = jax.random.categorical(
+        rng_e, jnp.log(jnp.maximum(resid, 1e-38)), axis=-1
+    ).astype(jnp.int32)
+    emit = jnp.concatenate(
+        [proposed, jnp.zeros((b, 1), jnp.int32)], axis=1
+    )
+    emit = jnp.where(
+        jnp.arange(g + 1)[None, :] == j[:, None], extra[:, None], emit
+    )
+    return emit, j + 1

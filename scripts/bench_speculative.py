@@ -8,7 +8,13 @@ is near zero on real text — this bench uses the target itself as a
 perfectly-correlated stand-in draft at 1/6 depth to show the mechanics and
 upper bound; acceptance on trained model pairs lands between.
 
+``--batch N`` additionally benches the CONTINUOUS-BATCHING engine with
+in-engine speculative rounds (``InferenceEngine(draft_model=...)``) against
+the plain engine at batch N — the round-4 in-engine path where speculative
+and plain sampling requests share the slot pool losslessly.
+
 Run: python scripts/bench_speculative.py [--tokens 128] [--gamma 4]
+     [--batch 8]
 """
 
 import argparse
@@ -33,6 +39,9 @@ def main():
     p.add_argument("--gamma", type=int, default=4)
     p.add_argument("--vocab", type=int, default=32768)
     p.add_argument("--max-len", type=int, default=512)
+    p.add_argument("--batch", type=int, default=0,
+                   help="also bench the in-engine speculative path at this "
+                        "batch width (0 = skip)")
     args = p.parse_args()
 
     def lm(n_layer, d_model, n_head):
@@ -92,6 +101,43 @@ def main():
             f"({len(got)/dec.rounds:.2f} tok/forward) | "
             f"greedy-prefix match {pref}/{len(base)} (bf16 ties)"
         )
+
+    if args.batch:
+        # batch>1: in-engine speculative rounds vs the plain engine. The
+        # draft-=target pairing keeps acceptance at 1.0 (the mechanics /
+        # upper-bound measurement, same caveat as above).
+        def run_engine(draft_pair, label):
+            kw = {}
+            if draft_pair is not None:
+                kw = dict(draft_model=draft_pair[0],
+                          draft_params=draft_pair[1], gamma=args.gamma)
+            eng = InferenceEngine(
+                target, t_params, n_slots=args.batch, max_len=args.max_len,
+                decode_steps=4, **kw,
+            )
+            def submit_all(n_tok):
+                for i in range(args.batch):
+                    eng.submit(Request(
+                        rng.integers(1, args.vocab, 32).tolist(),
+                        max_new_tokens=n_tok, request_id=str(i),
+                    ))
+            submit_all(4)
+            eng.run()  # compile
+            submit_all(args.tokens)
+            t0 = time.perf_counter()
+            outs = eng.run()
+            dt = time.perf_counter() - t0
+            total = sum(len(o.tokens) for o in outs)
+            extra = ""
+            st = eng.stats()
+            if "spec_acceptance" in st:
+                extra = (f" | acceptance {st['spec_acceptance']:.2f}, "
+                         f"{st['spec_tokens_per_round']:.2f} tok/round")
+            print(f"{label}: {total/dt:6.0f} tok/s aggregate "
+                  f"(batch {args.batch}){extra}")
+
+        run_engine(None, "engine plain       ")
+        run_engine((target, t_params), "engine speculative ")
 
 
 if __name__ == "__main__":
