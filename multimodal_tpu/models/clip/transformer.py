@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.modules.layers.activation import quick_gelu
+from multimodal_tpu.modules.layers.dense_params import DenseParams, dense_apply
 from multimodal_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_tpu.ops.fused_encoder import (
+    fused_encoder_available,
+    fused_mlp,
+    fused_qkv_attention,
+)
 
 
 class CLIPEncoderLayer(nn.Module):
@@ -36,23 +42,43 @@ class CLIPEncoderLayer(nn.Module):
         )
         b, s, e = x.shape
         h = self.heads
+        # Pallas fused-encoder kernels on TPU at short sequence: attention
+        # consumes the qkv buffer directly (no split/transpose copies, no
+        # HBM scores) and the MLP keeps its d_ff intermediate in VMEM —
+        # the byte-ledger fix for the HBM-bound encoder (ops/fused_encoder)
+        fused = fused_encoder_available(s, e, h)
 
         # Self-attention (pre-norm)
         y = ln("norm1")(x.astype(jnp.float32)).astype(self.dtype)
         qkv = dense(3 * e, "in_proj")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        to_heads = lambda t: t.reshape(b, s, h, e // h).transpose(0, 2, 1, 3)
-        attn = scaled_dot_product_attention(
-            to_heads(q), to_heads(k), to_heads(v), is_causal=is_causal
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, e)
+        if fused:
+            attn = fused_qkv_attention(qkv, h, is_causal)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            to_heads = lambda t: t.reshape(b, s, h, e // h).transpose(0, 2, 1, 3)
+            attn = scaled_dot_product_attention(
+                to_heads(q), to_heads(k), to_heads(v), is_causal=is_causal
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, s, e)
         x = x + dense(e, "out_proj")(attn)
 
         # MLP (pre-norm)
         y = ln("norm2")(x.astype(jnp.float32)).astype(self.dtype)
-        y = dense(self.dim_feedforward, "linear1")(y)
-        y = quick_gelu(y)
-        x = x + dense(e, "linear2")(y)
+        w1, b1 = DenseParams(
+            self.dim_feedforward, param_dtype=self.param_dtype, name="linear1"
+        )(e)
+        w2, b2 = DenseParams(e, param_dtype=self.param_dtype, name="linear2")(
+            self.dim_feedforward
+        )
+        if fused:
+            x = x + fused_mlp(
+                y.astype(self.dtype), w1.astype(self.dtype),
+                b1.astype(self.dtype), w2.astype(self.dtype),
+                b2.astype(self.dtype), "quick_gelu",
+            )
+        else:
+            y = quick_gelu(dense_apply(y, w1, b1, self.dtype))
+            x = x + dense_apply(y, w2, b2, self.dtype)
         return x
 
 

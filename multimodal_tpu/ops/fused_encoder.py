@@ -1,0 +1,297 @@
+"""Fused Pallas kernels for SHORT-sequence encoder blocks (CLIP/ViT/BERT).
+
+Why these exist: the flash kernel (``ops/flash_attention.py``) wins from
+~512 sequence up, but the multimodal encoders run at seq 50-210 where the
+XLA path is byte-bound on LAYOUT traffic, not scores. The round-4 HLO byte
+ledger (``scripts/roofline_ledger.py``) of the CLIP ViT-B/32 inference
+program showed ~520 MB/layer of pure copies: the qkv split re-materializes
+the (B, S, 3D) buffer, the per-head (B, H, S, Dh) transposes copy q/k/v
+again, the softmax materializes (B, H, S, S) probs, and the output
+transposes back — over half the program's HBM traffic, on a chip where the
+program is bandwidth-bound (measured ~550 GB/s effective of 819).
+
+``fused_qkv_attention`` consumes the fused QKV projection's output
+DIRECTLY in its natural (B, S, 3*D) layout and writes attention output in
+the (B, S, D) layout the output projection wants: zero layout copies, and
+scores/probs never touch HBM. The grid runs over batch blocks; each step
+loads its (Bb, S, 3D) qkv block into VMEM once and the (statically
+unrolled) head loop slices q/k/v per head in-register, so each qkv byte is
+read from HBM exactly once.
+
+``fused_mlp`` computes act(x @ W1 + b1) @ W2 + b2 with the (rows, d_ff)
+intermediate living only in VMEM — the XLA path writes + re-reads it twice
+(~630 MB/layer at CLIP batch 512). Weights sit resident in VMEM across the
+row-block grid (constant index maps), so they stream from HBM once.
+
+Both are differentiable via custom_vjp with an XLA-recompute backward (the
+backward recomputes the reference XLA forward's internals and takes its
+exact VJP): training uses them safely; inference gets the full byte win.
+
+No reference counterpart (the reference leans on torch SDPA +
+``nn.Linear``; this fusion is TPU roofline work, reference
+``modules/layers/multi_head_attention.py:74`` is the API being served).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_FUSED_SEQ = 256          # above this, use flash / XLA instead
+_VMEM_BLOCK_BUDGET = 6 << 20  # attention: in/out blocks per grid step (2x buffered)
+_MLP_VMEM_BUDGET = 14 << 20   # mlp: weights resident + row blocks
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def fused_encoder_available(seq: int, embed_dim: int, num_heads: int) -> bool:
+    """Dispatch predicate: TPU present (or forced-interpret for tests),
+    short sequence, clean head split."""
+    if os.environ.get("MMTPU_DISABLE_FUSED_ENCODER"):
+        return False
+    if seq > _MAX_FUSED_SEQ or embed_dim % num_heads:
+        return False
+    if (embed_dim // num_heads) % 8:
+        return False  # keep head slices sublane-aligned
+    if os.environ.get("MMTPU_FORCE_FUSED_ENCODER"):
+        return True
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat in ("tpu", "axon") or "tpu" in getattr(
+        jax.devices()[0], "device_kind", ""
+    ).lower()
+
+
+def _batch_block(b: int, per_example_bytes: int) -> int:
+    """Largest divisor of ``b`` whose block stays under the VMEM budget."""
+    cap = max(1, _VMEM_BLOCK_BUDGET // max(per_example_bytes, 1))
+    best = 1
+    for d in range(1, b + 1):
+        if b % d == 0 and d <= cap:
+            best = d
+    return best
+
+
+# --------------------------------------------------------------------------
+# fused QKV self-attention
+# --------------------------------------------------------------------------
+
+
+def _qkv_attn_kernel(qkv_ref, o_ref, *, scale, causal, seq, num_heads, d):
+    dh = d // num_heads
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        mask = (col <= row)[None]
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]            # (Bb, S, Dh)
+        k = qkv_ref[:, :, d + h * dh: d + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * d + h * dh: 2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (Bb, S, S) fp32
+        if mask is not None:
+            s = jnp.where(mask, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+def _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale):
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    scale = sm_scale if sm_scale is not None else dh ** -0.5
+    # block budget: qkv + out blocks plus one head's fp32 score matrix
+    per_ex = s * (three_d + d) * qkv.dtype.itemsize + s * s * 4
+    bb = _batch_block(b, per_ex)
+
+    kernel = functools.partial(
+        _qkv_attn_kernel, scale=scale, causal=is_causal, seq=s,
+        num_heads=num_heads, d=d,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(
+                (bb, s, three_d), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        interpret=_interpret(),
+    )(qkv)
+
+
+def _qkv_attention_xla(qkv, num_heads, is_causal, sm_scale):
+    """Reference XLA computation of the same function (backward path)."""
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    scale = sm_scale if sm_scale is not None else dh ** -0.5
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, s, num_heads, dh).transpose(0, 2, 1, 3)
+    q, k, v = split(q), split(k), split(v)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if is_causal:
+        causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+        logits = jnp.where(causal, logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Self-attention straight off the fused QKV projection.
+
+    Args:
+        qkv: ``(B, S, 3*D)`` — the fused in-projection output, laid out
+            ``[q | k | v]`` along the feature axis (each of width D, heads
+            contiguous within each part).
+    Returns:
+        ``(B, S, D)`` attention output, ready for the out projection.
+    """
+    return _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale)
+
+
+def _qkv_attn_fwd(qkv, num_heads, is_causal, sm_scale):
+    return _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale), qkv
+
+
+def _qkv_attn_bwd(num_heads, is_causal, sm_scale, qkv, g):
+    _, vjp = jax.vjp(
+        lambda t: _qkv_attention_xla(t, num_heads, is_causal, sm_scale), qkv
+    )
+    return vjp(g)
+
+
+fused_qkv_attention.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
+
+
+# --------------------------------------------------------------------------
+# fused MLP
+# --------------------------------------------------------------------------
+
+_ACTIVATIONS = {
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+    "gelu": jax.nn.gelu,
+    "gelu_exact": functools.partial(jax.nn.gelu, approximate=False),
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+}
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act):
+    x = x_ref[...]  # (Rb, Din)
+    h = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)  # bias blocks are (1, D)
+    h = _ACTIVATIONS[act](h).astype(x.dtype)
+    o = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _mlp_impl(x, w1, b1, w2, b2, activation):
+    orig_shape = x.shape
+    din = orig_shape[-1]
+    dff = w1.shape[-1]
+    dout = w2.shape[-1]
+    rows = 1
+    for dim in orig_shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, din)
+    # row block: weights (resident) + x + fp32 intermediate + out per row
+    # VMEM: weights resident once (constant index maps — no double buffer),
+    # x/out blocks double-buffered, fp32 intermediate as a compiler temp
+    per_row = (din + dout) * x.dtype.itemsize * 2 + dff * (x.dtype.itemsize + 4)
+    weight_bytes = (din * dff + dff * dout) * w1.dtype.itemsize
+    budget = _MLP_VMEM_BUDGET - weight_bytes
+    if budget < per_row * 64:
+        # weights too large to keep resident with a useful row block —
+        # the fused kernel would degrade to tiny-matmul grid steps
+        return _mlp_xla(x, w1, b1, w2, b2, activation)
+    rb = min(512, max(8, budget // max(per_row, 1) // 8 * 8))  # sublane mult
+    grid = pl.cdiv(rows, rb)
+    kernel = functools.partial(_mlp_kernel, act=activation)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rb, din), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dff, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, dout), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, dout), x.dtype),
+        interpret=_interpret(),
+    )(x2, w1, b1.reshape(1, dff), w2, b2.reshape(1, dout))
+    return out.reshape(*orig_shape[:-1], dout)
+
+
+def _mlp_xla(x, w1, b1, w2, b2, activation):
+    h = (x @ w1 + b1.astype(x.dtype)).astype(jnp.float32)
+    h = _ACTIVATIONS[activation](h).astype(x.dtype)
+    return h @ w2 + b2.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_mlp(x, w1, b1, w2, b2, activation: str = "gelu"):
+    """act(x @ W1 + b1) @ W2 + b2 with the intermediate in VMEM only.
+
+    All operands must share the compute dtype (cast weights before the
+    call); the activation is computed in fp32 off the first matmul's fp32
+    accumulator. ``x`` is (..., Din); weights (Din, Dff) / (Dff, Dout).
+    """
+    return _mlp_impl(x, w1, b1, w2, b2, activation)
+
+
+def _mlp_fwd(x, w1, b1, w2, b2, activation):
+    return _mlp_impl(x, w1, b1, w2, b2, activation), (x, w1, b1, w2, b2)
+
+
+def _mlp_bwd(activation, res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_xla(*a, activation), x, w1, b1, w2, b2
+    )
+    return vjp(g)
+
+
+fused_mlp.defvjp(_mlp_fwd, _mlp_bwd)
