@@ -144,6 +144,92 @@ def _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale):
     )(qkv)
 
 
+def _qkv_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, causal, seq,
+                         num_heads, d):
+    """Blockwise attention backward: recompute p per head in VMEM, emit
+    dqkv in the same fused (Bb, S, 3D) layout. Standard softmax-attention
+    VJP: dv = p^T g, dp = g v^T, ds = p (dp - rowsum(dp*p)) * scale,
+    dq = ds k, dk = ds^T q."""
+    dh = d // num_heads
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        mask = (col <= row)[None]
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, d + h * dh: d + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * d + h * dh: 2 * d + (h + 1) * dh]
+        g = g_ref[:, :, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask is not None:
+            s = jnp.where(mask, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # (Bb, Sq, Sk) fp32
+        pb = p.astype(qkv_ref.dtype)
+        dv = jax.lax.dot_general(  # sum_q p[q,k] g[q,d] -> (Bb, Sk, Dh)
+            pb, g, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # g[q,d] v[k,d] -> (Bb, Sq, Sk)
+            g, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale)
+        dsb = ds.astype(qkv_ref.dtype)
+        dq = jax.lax.dot_general(  # ds[q,k] k[k,d] -> (Bb, Sq, Dh)
+            dsb, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(  # sum_q ds[q,k] q[q,d] -> (Bb, Sk, Dh)
+            dsb, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, d + h * dh: d + (h + 1) * dh] = dk.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[:, :, 2 * d + h * dh: 2 * d + (h + 1) * dh] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale):
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    scale = sm_scale if sm_scale is not None else dh ** -0.5
+    # qkv + g + dqkv blocks (double-buffered) plus fp32 score temps
+    per_ex = s * (three_d * 2 + d) * qkv.dtype.itemsize * 2 + 3 * s * s * 4
+    bb = _batch_block(b, per_ex)
+    kernel = functools.partial(
+        _qkv_attn_bwd_kernel, scale=scale, causal=is_causal, seq=s,
+        num_heads=num_heads, d=d,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec(
+                (bb, s, three_d), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, s, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
+        interpret=_interpret(),
+    )(qkv, g)
+
+
 def _qkv_attention_xla(qkv, num_heads, is_causal, sm_scale):
     """Reference XLA computation of the same function (backward path)."""
     b, s, three_d = qkv.shape
@@ -188,10 +274,9 @@ def _qkv_attn_fwd(qkv, num_heads, is_causal, sm_scale):
 
 
 def _qkv_attn_bwd(num_heads, is_causal, sm_scale, qkv, g):
-    _, vjp = jax.vjp(
-        lambda t: _qkv_attention_xla(t, num_heads, is_causal, sm_scale), qkv
+    return (
+        _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale),
     )
-    return vjp(g)
 
 
 fused_qkv_attention.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
