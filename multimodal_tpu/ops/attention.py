@@ -71,21 +71,15 @@ def scaled_dot_product_attention(
             raise ValueError("segment_ids require self-attention (sq == sk)")
     # A boolean key-padding mask (broadcast shape (b, 1, 1, sk) — every
     # BERT-style tower's padded-text mask) converts to O(S) segment ids so
-    # the flash path keeps its blockwise Pallas backward; anything
-    # richer becomes an additive bias (flash falls back to an XLA-recompute
-    # backward with a bias, so only take the segment route when it applies).
+    # the flash path keeps its blockwise Pallas backward. Segment ids
+    # COMPOSE with an extra mask/bias at O(S) storage: the extra mask turns
+    # into an additive bias and rides the kernel's bias lane alongside the
+    # segment lane (the flash backward is blockwise on both; no dense
+    # (Sq, Sk) segment-mask expansion anywhere on the flash path).
     q_segment_ids = kv_segment_ids = None
     if segment_ids is not None:
         segment_ids = segment_ids.astype(jnp.int32)
-        if mask is None and bias is None:
-            q_segment_ids = kv_segment_ids = segment_ids
-        else:
-            # composing with an explicit mask/bias: expand to a boolean mask
-            # (the flash seg route would drop the extra mask)
-            seg_mask = (
-                segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
-            )
-            mask = seg_mask if mask is None else mask & seg_mask
+        q_segment_ids = kv_segment_ids = segment_ids
     if (
         segment_ids is None
         and mask is not None
@@ -107,6 +101,7 @@ def scaled_dot_product_attention(
                 kv_segment_ids, (q.shape[0], k.shape[-2])
             )
             q_segment_ids = jnp.ones((q.shape[0], q.shape[-2]), jnp.int32)
+        mask = None  # fully captured by the segment ids; no bias lane needed
 
     if mask is not None:
         mask_bias = jnp.where(mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
@@ -123,12 +118,10 @@ def scaled_dot_product_attention(
     ) or bool(os.environ.get("MMTPU_FORCE_FLASH"))
 
     if use_flash:
-        if kv_segment_ids is not None:
-            return flash_attention(
-                q, k, v, None, is_causal, sm_scale,
-                q_segment_ids, kv_segment_ids,
-            )
-        return flash_attention(q, k, v, bias, is_causal, sm_scale)
+        return flash_attention(
+            q, k, v, bias, is_causal, sm_scale,
+            q_segment_ids, kv_segment_ids,
+        )
 
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else d ** -0.5

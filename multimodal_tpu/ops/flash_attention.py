@@ -20,9 +20,16 @@ Masking, in order of preference:
     another — or per-sequence ids for sequence packing) and keeps BOTH the
     forward and the blockwise Pallas backward, at O(S) mask storage instead
     of the O(S^2) bias. This is the path long-context padded training takes.
-  - ``bias``: an arbitrary additive (B, H, Sq, Sk) float mask. The bias is
-    itself logits-sized, so with it the backward falls back to an XLA
-    recompute — there is nothing to save by keeping it blockwise.
+  - ``bias``: an additive float bias broadcastable to (B, H, Sq, Sk), which
+    COMPOSES with segment ids and causal. Broadcast biases (ALiBi-style
+    (1, H, 1, Sk), per-batch (B, 1, Sq, Sk), row biases) are kept at their
+    broadcast shape end to end — block specs pin degenerate dims to block 0
+    and the in-kernel add broadcasts, so an O(S) bias costs O(S) HBM in both
+    directions. The backward stays blockwise (dq / dk-dv kernels recompute
+    probabilities with the bias folded in); the bias gradient, only when the
+    caller differentiates the bias (symbolic-zeros tracking), is a third
+    blockwise kernel whose (Sq, Sk) output IS the gradient, reduced back to
+    the broadcast shape.
 
 ``flash_attention_lse`` additionally returns the per-row logsumexp and is
 differentiable in BOTH outputs — the building block for ring/context-parallel
@@ -181,6 +188,41 @@ def _q_seg_spec(block_q, transposed_grid=False):
     return pl.BlockSpec((1, block_q, LANES), lambda b_, h_, iq, ik: (b_, iq, 0))
 
 
+def _prep_bias(bias, block_q, block_k):
+    """Pad a (possibly broadcast) additive bias for blockwise access WITHOUT
+    materializing the broadcast: size-1 batch/head/row/col dims stay size 1
+    and the block spec's index map pins them to 0 (the kernel's in-block add
+    broadcasts). Only non-degenerate seq dims are padded; padded key columns
+    are masked by the kernels' ``col < sk`` guard, so the pad value is moot."""
+    bias = bias.astype(jnp.float32)
+    if bias.ndim != 4:
+        raise ValueError(f"bias must be 4-d broadcastable, got {bias.shape}")
+    if bias.shape[2] > 1:
+        bias = _pad_to(bias, 2, block_q)
+    if bias.shape[3] > 1:
+        bias = _pad_to(bias, 3, block_k, DEFAULT_MASK_VALUE)
+    return bias
+
+
+def _bias_spec(bias_shape, block_q, block_k, transposed_grid=False):
+    """BlockSpec for a padded broadcast bias: block dims shrink to 1 on
+    degenerate axes and the index map pins them to block 0."""
+    bb, bh, bsq, bsk = bias_shape
+    bq = block_q if bsq > 1 else 1
+    bk = block_k if bsk > 1 else 1
+
+    if transposed_grid:
+        def im(b_, h_, ik, iq):
+            return (b_ if bb > 1 else 0, h_ if bh > 1 else 0,
+                    iq if bsq > 1 else 0, ik if bsk > 1 else 0)
+    else:
+        def im(b_, h_, iq, ik):
+            return (b_ if bb > 1 else 0, h_ if bh > 1 else 0,
+                    iq if bsq > 1 else 0, ik if bsk > 1 else 0)
+
+    return pl.BlockSpec((1, 1, bq, bk), im)
+
+
 def _kv_seg_spec(block_k, transposed_grid=False):
     if transposed_grid:
         return pl.BlockSpec((1, SUBLANES, block_k), lambda b_, h_, ik, iq: (b_, 0, ik))
@@ -220,6 +262,12 @@ def flash_attention_forward(
         sm_scale = d ** -0.5
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("pass both q_segment_ids and kv_segment_ids or neither")
+    if bias is not None and bias.ndim >= 2 and bias.shape[-2] > 1 and bias.shape[-1] > 1:
+        # full-tile (block_q, block_k) bias operand: 1024^2 fp32 tiles push
+        # the kernel over the 16M scoped-vmem limit; broadcast biases (row /
+        # column / ALiBi) keep the big blocks
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, max(sq, 8))
     block_k = min(block_k, max(sk, 8))
 
@@ -229,8 +277,9 @@ def flash_attention_forward(
     sq_p, sk_p = q_p.shape[2], k_p.shape[2]
 
     if bias is not None:
-        bias = jnp.broadcast_to(bias, (b, h, sq, sk)).astype(jnp.float32)
-        bias = _pad_to(_pad_to(bias, 3, block_k, DEFAULT_MASK_VALUE), 2, block_q)
+        if bias.ndim < 4:
+            bias = jnp.expand_dims(bias, tuple(range(4 - bias.ndim)))
+        bias = _prep_bias(bias, block_q, block_k)
 
     causal_offset = sk - sq
     grid = (b, h, sq_p // block_q, sk_p // block_k)
@@ -241,9 +290,7 @@ def flash_attention_forward(
     ]
     args = [q_p, k_p, v_p]
     if bias is not None:
-        in_specs.append(
-            pl.BlockSpec((1, 1, block_q, block_k), lambda b_, h_, iq, ik: (b_, h_, iq, ik))
-        )
+        in_specs.append(_bias_spec(bias.shape, block_q, block_k))
         args.append(bias)
     has_segments = q_segment_ids is not None
     if has_segments:
@@ -311,7 +358,7 @@ def flash_attention_forward(
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_scr, *, sm_scale, causal, causal_offset,
                    block_q, block_k, sq, sk, precision,
-                   q_seg_ref=None, kv_seg_ref=None):
+                   q_seg_ref=None, kv_seg_ref=None, bias_ref=None):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -337,6 +384,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         ) * (sm_scale * LOG2E)
+        if bias_ref is not None:
+            s2 = s2 + bias_ref[0, 0].astype(jnp.float32) * LOG2E
         row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = col < sk
@@ -366,7 +415,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale, causal,
                     causal_offset, block_q, block_k, sq, sk, precision,
-                    q_seg_ref=None, kv_seg_ref=None):
+                    q_seg_ref=None, kv_seg_ref=None, bias_ref=None):
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     nq = pl.num_programs(3)
@@ -393,6 +442,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         ) * (sm_scale * LOG2E)
+        if bias_ref is not None:
+            s2 = s2 + bias_ref[0, 0].astype(jnp.float32) * LOG2E
         row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         valid = jnp.logical_and(row < sq, col < sk)
@@ -426,10 +477,59 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_dbias_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dbias_ref, *, sm_scale, causal, causal_offset,
+                      block_q, block_k, sq, sk, precision,
+                      q_seg_ref=None, kv_seg_ref=None, bias_ref=None):
+    """dbias block = ds = p * (dp - delta): each (iq, ik) grid cell writes its
+    own (block_q, block_k) tile once — only instantiated when the caller
+    actually differentiates the bias (otherwise the whole pallas_call is
+    dead code and XLA removes it)."""
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    should_compute = True
+    if causal:
+        should_compute = (iq + 1) * block_q - 1 + causal_offset >= ik * block_k
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
+
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * (sm_scale * LOG2E)
+        if bias_ref is not None:
+            s2 = s2 + bias_ref[0, 0].astype(jnp.float32) * LOG2E
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        col = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        valid = jnp.logical_and(row < sq, col < sk)
+        if causal:
+            valid = jnp.logical_and(valid, row + causal_offset >= col)
+        if q_seg_ref is not None:
+            valid = jnp.logical_and(valid, _seg_mask(q_seg_ref, kv_seg_ref))
+        p = jnp.where(valid, jnp.exp2(s2 - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dbias_ref[0, 0] = (p * (dp - delta)).astype(dbias_ref.dtype)
+
+    @pl.when(jnp.logical_not(should_compute))
+    def _skip():
+        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+
 def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
                     block_q=1024, block_k=1024,
                     q_segment_ids=None, kv_segment_ids=None,
-                    dlse=None):
+                    dlse=None, bias=None, need_dbias=False):
     """Blockwise dq/dk/dv: two Pallas kernels recomputing p from (q, k, lse).
 
     No (Sq, Sk) buffer is ever materialized — this is the FlashAttention-2
@@ -442,6 +542,15 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
     sk = k.shape[2]
     if sm_scale is None:
         sm_scale = d ** -0.5
+    full_bias_tile = (
+        bias is not None and bias.shape[-2] > 1 and bias.shape[-1] > 1
+    )
+    if full_bias_tile or need_dbias:
+        # a full-tile bias operand or a (block_q, block_k) dbias output per
+        # grid cell at 1024^2 fp32 blows the 16M scoped-vmem limit; 512^2
+        # fits. Broadcast biases without a dbias keep the big blocks.
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = min(block_q, max(sq, 8))
     block_k = min(block_k, max(sk, 8))
 
@@ -468,30 +577,53 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
         q_seg, kv_seg = _broadcast_segments(
             q_segment_ids, kv_segment_ids, b, block_q, block_k
         )
+    has_bias = bias is not None
+    if has_bias:
+        bias_p = _prep_bias(bias, block_q, block_k)
 
     causal_offset = sk - sq
     common = dict(sm_scale=sm_scale, causal=causal, causal_offset=causal_offset,
                   block_q=block_q, block_k=block_k, sq=sq, sk=sk,
                   precision=_dot_precision(q.dtype))
 
+    def _wrap(base_kernel, n_out_and_scratch):
+        """Route the optional trailing seg/bias refs into keyword slots: the
+        pallas_call sees inputs [fixed..., segs?, bias?] then outputs/scratch."""
+        def kernel(*refs):
+            fixed = refs[:6]
+            idx = 6
+            extra = {}
+            if has_segments:
+                extra["q_seg_ref"], extra["kv_seg_ref"] = refs[idx:idx + 2]
+                idx += 2
+            if has_bias:
+                extra["bias_ref"] = refs[idx]
+                idx += 1
+            base_kernel(*fixed, *refs[idx:idx + n_out_and_scratch],
+                        **extra, **common)
+        return kernel
+
+    def _extra(transposed_grid):
+        specs, args = [], []
+        if has_segments:
+            specs += [_q_seg_spec(block_q, transposed_grid),
+                      _kv_seg_spec(block_k, transposed_grid)]
+            args += [q_seg, kv_seg]
+        if has_bias:
+            specs.append(_bias_spec(bias_p.shape, block_q, block_k, transposed_grid))
+            args.append(bias_p)
+        return specs, args
+
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
     k_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0))
     lse_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0))
 
-    dq_in_specs = [q_spec, k_spec, k_spec, q_spec, lse_spec, lse_spec]
-    dq_args = [q_p, k_p, v_p, do_p, lse_p, delta_p]
-    dq_kernel = functools.partial(_bwd_dq_kernel, **common)
-    if has_segments:
-        def dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                      qs_ref, ks_ref, dq_ref, dq_scr):
-            _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                           dq_ref, dq_scr, q_seg_ref=qs_ref, kv_seg_ref=ks_ref,
-                           **common)
-        dq_in_specs.extend([_q_seg_spec(block_q), _kv_seg_spec(block_k)])
-        dq_args.extend([q_seg, kv_seg])
+    extra_specs, extra_args = _extra(transposed_grid=False)
+    dq_in_specs = [q_spec, k_spec, k_spec, q_spec, lse_spec, lse_spec] + extra_specs
+    dq_args = [q_p, k_p, v_p, do_p, lse_p, delta_p] + extra_args
 
     dq = pl.pallas_call(
-        dq_kernel,
+        _wrap(_bwd_dq_kernel, 2),
         grid=(b, h, sq_p // block_q, sk_p // block_k),
         in_specs=dq_in_specs,
         out_specs=q_spec,
@@ -508,23 +640,15 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
     kq_k_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, ik, iq: (b_, h_, ik, 0))
     kq_lse_spec = pl.BlockSpec((1, 1, block_q, LANES), lambda b_, h_, ik, iq: (b_, h_, iq, 0))
 
-    dkv_in_specs = [kq_q_spec, kq_k_spec, kq_k_spec, kq_q_spec, kq_lse_spec, kq_lse_spec]
-    dkv_args = [q_p, k_p, v_p, do_p, lse_p, delta_p]
-    dkv_kernel = functools.partial(_bwd_dkv_kernel, **common)
-    if has_segments:
-        def dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                       qs_ref, ks_ref, dk_ref, dv_ref, dk_scr, dv_scr):
-            _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                            dk_ref, dv_ref, dk_scr, dv_scr,
-                            q_seg_ref=qs_ref, kv_seg_ref=ks_ref, **common)
-        dkv_in_specs.extend([
-            _q_seg_spec(block_q, transposed_grid=True),
-            _kv_seg_spec(block_k, transposed_grid=True),
-        ])
-        dkv_args.extend([q_seg, kv_seg])
+    extra_specs_t, extra_args_t = _extra(transposed_grid=True)
+    dkv_in_specs = (
+        [kq_q_spec, kq_k_spec, kq_k_spec, kq_q_spec, kq_lse_spec, kq_lse_spec]
+        + extra_specs_t
+    )
+    dkv_args = [q_p, k_p, v_p, do_p, lse_p, delta_p] + extra_args_t
 
     dk, dv = pl.pallas_call(
-        dkv_kernel,
+        _wrap(_bwd_dkv_kernel, 4),
         grid=(b, h, sk_p // block_k, sq_p // block_q),
         in_specs=dkv_in_specs,
         out_specs=[kq_k_spec, kq_k_spec],
@@ -542,7 +666,36 @@ def _flash_backward(q, k, v, out, lse, do, *, causal, sm_scale,
         interpret=_interpret(),
     )(*dkv_args)
 
-    return dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+    dq, dk, dv = dq[:, :, :sq, :], dk[:, :, :sk, :], dv[:, :, :sk, :]
+    if not need_dbias:
+        return dq, dk, dv
+
+    # dbias: its own pallas_call so that when the bias cotangent is unused
+    # the call is dead code — the (Sq, Sk) write only exists for callers
+    # that differentiate a bias.
+    dbias_spec = pl.BlockSpec(
+        (1, 1, block_q, block_k), lambda b_, h_, iq, ik: (b_, h_, iq, ik)
+    )
+    dbias_full = pl.pallas_call(
+        _wrap(_bwd_dbias_kernel, 1),
+        grid=(b, h, sq_p // block_q, sk_p // block_k),
+        in_specs=dq_in_specs,
+        out_specs=dbias_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, sk_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*dq_args)[:, :, :sq, :sk]
+
+    # reduce over the bias's broadcast dims back to its original shape
+    bias_shape = bias.shape
+    reduce_axes = tuple(
+        i for i in range(4)
+        if bias_shape[i] == 1 and dbias_full.shape[i] > 1
+    )
+    dbias = jnp.sum(dbias_full, axis=reduce_axes, keepdims=True)
+    return dq, dk, dv, dbias.reshape(bias_shape).astype(bias.dtype)
 
 
 def _xla_attention(q, k, v, bias, causal, sm_scale):
@@ -562,44 +715,57 @@ def _xla_attention(q, k, v, bias, causal, sm_scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q, k, v, bias=None, causal=False, sm_scale=None,
                     q_segment_ids=None, kv_segment_ids=None):
-    """Differentiable fused attention: Pallas forward AND backward on the
-    bias-free paths (plain / causal / segment-id masked); with an additive
-    ``bias`` the backward falls back to an XLA recompute."""
+    """Differentiable fused attention: Pallas forward AND blockwise
+    FlashAttention-2 backward on EVERY path — plain / causal / segment-id
+    masked / additive-bias (broadcast biases like ALiBi stay at their
+    broadcast shape end to end), and bias composes with segment ids. The
+    bias gradient, when a caller actually differentiates the bias
+    (``symbolic_zeros`` tells us), is one extra blockwise kernel whose
+    (Sq, Sk) output is the gradient itself; otherwise no quadratic buffer
+    exists anywhere in the backward."""
     return flash_attention_forward(
         q, k, v, bias, causal=causal, sm_scale=sm_scale,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
     )
 
 
+def _primal(x):
+    # with symbolic_zeros=True the fwd sees CustomVJPPrimal(value, perturbed)
+    return x.value if hasattr(x, "perturbed") else x
+
+
 def _fa_fwd(q, k, v, bias, causal, sm_scale, q_segment_ids, kv_segment_ids):
-    if bias is None:
-        out, lse = flash_attention_forward(
-            q, k, v, None, causal=causal, sm_scale=sm_scale, return_lse=True,
-            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        )
-        return out, (q, k, v, out, lse, q_segment_ids, kv_segment_ids)
-    out = flash_attention_forward(q, k, v, bias, causal=causal, sm_scale=sm_scale)
-    return out, (q, k, v, bias)
+    bias_perturbed = bool(getattr(bias, "perturbed", False))
+    q, k, v, bias = _primal(q), _primal(k), _primal(v), _primal(bias)
+    q_segment_ids = _primal(q_segment_ids)
+    kv_segment_ids = _primal(kv_segment_ids)
+    out, lse = flash_attention_forward(
+        q, k, v, bias, causal=causal, sm_scale=sm_scale, return_lse=True,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+    )
+    return out, (q, k, v, bias, out, lse, q_segment_ids, kv_segment_ids,
+                 bias_perturbed)
 
 
 def _fa_bwd(causal, sm_scale, res, g):
-    if len(res) == 7:  # bias-free: blockwise Pallas backward
-        q, k, v, out, lse, q_seg, kv_seg = res
-        dq, dk, dv = _flash_backward(
-            q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
-            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-        )
-        return dq, dk, dv, None, None, None
-    q, k, v, bias = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_, causal, sm_scale),
-        q, k, v, bias,
+    q, k, v, bias, out, lse, q_seg, kv_seg, bias_perturbed = res
+    if hasattr(g, "aval") and type(g).__name__ == "SymbolicZero":
+        g = jnp.zeros(g.aval.shape, g.aval.dtype)
+    need_dbias = bias is not None and bias_perturbed
+    grads = _flash_backward(
+        q, k, v, out, lse, g, causal=causal, sm_scale=sm_scale,
+        q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        bias=bias, need_dbias=need_dbias,
     )
-    dq, dk, dv, dbias = vjp(g)
+    if need_dbias:
+        dq, dk, dv, dbias = grads
+    else:
+        dq, dk, dv = grads
+        dbias = None
     return dq, dk, dv, dbias, None, None
 
 
-flash_attention.defvjp(_fa_fwd, _fa_bwd)
+flash_attention.defvjp(_fa_fwd, _fa_bwd, symbolic_zeros=True)
 
 
 # ---------------------------------------------------------------------------
