@@ -34,6 +34,7 @@ import optax
 
 from multimodal_tpu.models.flava.configs import FLAVA_CONFIGS
 from multimodal_tpu.models.flava.model import flava_model_for_pretraining
+from multimodal_tpu.modules.layers.moe import moe_aux_loss
 from multimodal_tpu.parallel.mesh import create_mesh
 from multimodal_tpu.training.mlm_collator import MLMCollator
 from multimodal_tpu.training.trainer import Trainer
@@ -69,6 +70,7 @@ DEFAULTS: Dict[str, Any] = {
         "warmup_steps": 2,
         "weight_decay": 0.1,
         "strategy": "fsdp",
+        "ep": 1,                 # expert-parallel mesh width (MoE configs)
         "grad_accum_steps": 1,
         "skip_nonfinite_updates": True,
         "checkpoint_dir": None,
@@ -295,17 +297,21 @@ def build_zero_shot_eval(cfg: Dict[str, Any], model):
     return eval_fn
 
 
+def _model_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    kwargs = dict(FLAVA_CONFIGS[cfg["model"]["size"]])
+    kwargs.update(cfg["model"]["overrides"])
+    return kwargs
+
+
 def _build_model(cfg: Dict[str, Any]):
     m = cfg["model"]
     dtype = jnp.bfloat16 if m["bf16"] else jnp.float32
-    kwargs = dict(FLAVA_CONFIGS[m["size"]])
-    kwargs.update(m["overrides"])
     return flava_model_for_pretraining(
         vocab_size=m["vocab_size"],
         image_size=m["image_size"],
         patch_size=m["patch_size"],
         dtype=dtype,
-        **kwargs,
+        **_model_kwargs(cfg),
     )
 
 
@@ -332,9 +338,10 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
         image_patches_mask=jnp.zeros((b, n_patches, n_patches), jnp.int32),
     )
 
+    moe_on = bool(_model_kwargs(cfg).get("moe_num_experts"))
+
     def loss_fn(params, batch, rng):
-        out = model.apply(
-            params,
+        apply_kwargs = dict(
             image=batch["image"],
             text=batch["text"],
             text_masked=batch["text_masked"],
@@ -343,24 +350,47 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
             image_for_codebook=batch.get("image_for_codebook"),
             image_patches_mask=batch.get("image_patches_mask"),
         )
+        if moe_on:
+            # router aux losses are sown into `intermediates` by every MoE
+            # layer across the three towers; they join the objective here
+            out, inter = model.apply(
+                params, mutable=["intermediates"], **apply_kwargs
+            )
+            moe_loss = moe_aux_loss(inter["intermediates"])
+        else:
+            out = model.apply(params, **apply_kwargs)
+            moe_loss = None
         losses = out.losses
         aux = {
             name: value
             for name, value in losses._asdict().items()
             if value is not None
         }
-        return losses.total(), aux
+        total = losses.total()
+        if moe_loss is not None:
+            aux["moe_aux"] = moe_loss
+            total = total + moe_loss
+        return total, aux
 
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, t["lr"], t["warmup_steps"], max(t["steps"], t["warmup_steps"] + 1)
     )
     optimizer = optax.adamw(schedule, weight_decay=t["weight_decay"])
 
+    # MoE runs shard experts over a dp x ep mesh through the rule-based
+    # ("tp") strategy; dense runs keep the fsdp-everything default.
+    ep = int(t["ep"])
+    if ep > 1:
+        mesh = create_mesh(dp=-1, fsdp=1, tp=1, ep=ep)
+        strategy = "tp"
+    else:
+        mesh = create_mesh(dp=1, fsdp=-1, tp=1)
+        strategy = t["strategy"]
     trainer = Trainer(
         loss_fn,
         optimizer,
-        strategy=t["strategy"],
-        mesh=create_mesh(dp=1, fsdp=-1, tp=1),
+        strategy=strategy,
+        mesh=mesh,
         checkpoint_dir=t["checkpoint_dir"],
         log_dir=t["log_dir"],
         log_interval=t["log_interval"],

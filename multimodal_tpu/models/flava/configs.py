@@ -38,4 +38,16 @@ FLAVA_CONFIGS: Dict[str, Dict[str, Any]] = {
     "2.7b": _cfg(40, 1408, 6144, 16, 20),
     "4.8b": _cfg(48, 1664, 8192, 16, 24),
     "10b": _cfg(64, 2048, 10240, 16, 40),
+    # Mixture-of-experts towers (beyond-reference capability; no upstream
+    # analog): every 2nd layer of all three encoders swaps its MLP for a
+    # GShard top-2 capacity-dispatch MoE. Experts shard over the ``ep``
+    # mesh axis (rule-based ``tp_sharding``); router aux losses join the
+    # pretraining objective via ``moe_aux_loss`` in the recipe.
+    "base-moe-8e": dict(
+        moe_num_experts=8, moe_top_k=2, moe_interval=2, ep_axis_name="ep"
+    ),
+    "900m-moe-8e": dict(
+        _cfg(24, 1024, 4096, 16, 12),
+        moe_num_experts=8, moe_top_k=2, moe_interval=2, ep_axis_name="ep",
+    ),
 }

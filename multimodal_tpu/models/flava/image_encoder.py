@@ -158,6 +158,11 @@ def flava_image_encoder(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    moe_num_experts: Optional[int] = None,
+    moe_top_k: int = 2,
+    moe_capacity_factor: float = 1.25,
+    moe_interval: int = 2,
+    ep_axis_name: Optional[str] = None,
 ) -> ImageTransformer:
     embeddings = ImageEmbeddings(
         image_size=image_size,
@@ -181,6 +186,11 @@ def flava_image_encoder(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        moe_num_experts=moe_num_experts,
+        moe_top_k=moe_top_k,
+        moe_capacity_factor=moe_capacity_factor,
+        moe_interval=moe_interval,
+        ep_axis_name=ep_axis_name,
     )
     return ImageTransformer(
         embeddings=embeddings,

@@ -68,6 +68,11 @@ def flava_multimodal_encoder(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    moe_num_experts: Optional[int] = None,
+    moe_top_k: int = 2,
+    moe_capacity_factor: float = 1.25,
+    moe_interval: int = 2,
+    ep_axis_name: Optional[str] = None,
 ) -> FLAVATransformerWithoutEmbeddings:
     encoder = TransformerEncoder(
         n_layer=num_hidden_layers,
@@ -81,6 +86,11 @@ def flava_multimodal_encoder(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        moe_num_experts=moe_num_experts,
+        moe_top_k=moe_top_k,
+        moe_capacity_factor=moe_capacity_factor,
+        moe_interval=moe_interval,
+        ep_axis_name=ep_axis_name,
     )
     return FLAVATransformerWithoutEmbeddings(
         encoder=encoder,
@@ -350,8 +360,25 @@ def flava_model(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    # Mixture-of-experts towers (beyond-reference capability): every
+    # ``moe_interval``-th layer of the image/text/mm encoders swaps its MLP
+    # for a GShard capacity-dispatched MoE routed over ``ep_axis_name``;
+    # router aux losses are sown into the ``intermediates`` collection
+    # (collect with ``moe_aux_loss``).
+    moe_num_experts: Optional[int] = None,
+    moe_top_k: int = 2,
+    moe_capacity_factor: float = 1.25,
+    moe_interval: int = 2,
+    ep_axis_name: Optional[str] = None,
     **kwargs: Any,
 ) -> FLAVAModel:
+    moe_kwargs = dict(
+        moe_num_experts=moe_num_experts,
+        moe_top_k=moe_top_k,
+        moe_capacity_factor=moe_capacity_factor,
+        moe_interval=moe_interval,
+        ep_axis_name=ep_axis_name,
+    )
     image_encoder = flava_image_encoder(
         hidden_size=image_hidden_size,
         num_attention_heads=image_num_attention_heads,
@@ -364,7 +391,7 @@ def flava_model(
         image_size=image_size,
         patch_size=patch_size,
         num_channels=num_channels,
-        dtype=dtype, param_dtype=param_dtype, remat=remat,
+        dtype=dtype, param_dtype=param_dtype, remat=remat, **moe_kwargs,
     )
     text_encoder = flava_text_encoder(
         hidden_size=text_hidden_size,
@@ -378,7 +405,7 @@ def flava_model(
         pad_token_id=pad_token_id,
         type_vocab_size=type_vocab_size,
         max_position_embeddings=max_position_embeddings,
-        dtype=dtype, param_dtype=param_dtype, remat=remat,
+        dtype=dtype, param_dtype=param_dtype, remat=remat, **moe_kwargs,
     )
     mm_encoder = flava_multimodal_encoder(
         hidden_size=multimodal_hidden_size,
@@ -388,7 +415,7 @@ def flava_model(
         intermediate_size=multimodal_intermediate_size,
         intermediate_activation=multimodal_intermediate_activation,
         layer_norm_eps=multimodal_layer_norm_eps,
-        dtype=dtype, param_dtype=param_dtype, remat=remat,
+        dtype=dtype, param_dtype=param_dtype, remat=remat, **moe_kwargs,
     )
     dense = lambda d, name: nn.Dense(d, dtype=dtype, param_dtype=param_dtype, name=name)
     return FLAVAModel(

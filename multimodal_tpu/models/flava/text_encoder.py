@@ -6,7 +6,7 @@ BERT embeddings + pre-norm encoder + external Fp32 LN + CLS pooler.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Union
+from typing import Any, Callable, Optional, Union
 
 import jax.numpy as jnp
 
@@ -32,6 +32,11 @@ def flava_text_encoder(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    moe_num_experts: Optional[int] = None,
+    moe_top_k: int = 2,
+    moe_capacity_factor: float = 1.25,
+    moe_interval: int = 2,
+    ep_axis_name: Optional[str] = None,
 ) -> BERTTextEncoder:
     embeddings = BERTTextEmbeddings(
         hidden_size=hidden_size,
@@ -56,6 +61,11 @@ def flava_text_encoder(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        moe_num_experts=moe_num_experts,
+        moe_top_k=moe_top_k,
+        moe_capacity_factor=moe_capacity_factor,
+        moe_interval=moe_interval,
+        ep_axis_name=ep_axis_name,
     )
     return BERTTextEncoder(
         embeddings=embeddings,
