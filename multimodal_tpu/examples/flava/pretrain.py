@@ -70,6 +70,11 @@ DEFAULTS: Dict[str, Any] = {
         "warmup_steps": 2,
         "weight_decay": 0.1,
         "strategy": "fsdp",
+        # pure-bf16 training: bf16 params + AnyPrecisionAdamW (bf16 m/v +
+        # Kahan compensation) — the reference's anyprecision envelope
+        # (optimizers/anyprecision.py:17-53); 8 bytes/param total state,
+        # which is what fits 900m on one v5e chip and 10b on a v5e-16 pod
+        "pure_bf16": False,
         "ep": 1,                 # expert-parallel mesh width (MoE configs)
         "grad_accum_steps": 1,
         "skip_nonfinite_updates": True,
@@ -306,11 +311,15 @@ def _model_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
 def _build_model(cfg: Dict[str, Any]):
     m = cfg["model"]
     dtype = jnp.bfloat16 if m["bf16"] else jnp.float32
+    param_dtype = (
+        jnp.bfloat16 if cfg["train"]["pure_bf16"] else jnp.float32
+    )
     return flava_model_for_pretraining(
         vocab_size=m["vocab_size"],
         image_size=m["image_size"],
         patch_size=m["patch_size"],
         dtype=dtype,
+        param_dtype=param_dtype,
         **_model_kwargs(cfg),
     )
 
@@ -375,7 +384,15 @@ def build_trainer_and_state(cfg: Dict[str, Any]):
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, t["lr"], t["warmup_steps"], max(t["steps"], t["warmup_steps"] + 1)
     )
-    optimizer = optax.adamw(schedule, weight_decay=t["weight_decay"])
+    if t["pure_bf16"]:
+        from multimodal_tpu.modules.optimizers import anyprecision_adamw
+
+        optimizer = anyprecision_adamw(
+            schedule, weight_decay=t["weight_decay"],
+            use_kahan_summation=True, momentum_dtype=jnp.bfloat16,
+        )
+    else:
+        optimizer = optax.adamw(schedule, weight_decay=t["weight_decay"])
 
     # MoE runs shard experts over a dp x ep mesh through the rule-based
     # ("tp") strategy; dense runs keep the fsdp-everything default.

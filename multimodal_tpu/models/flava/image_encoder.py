@@ -126,19 +126,25 @@ class ImageTransformer(nn.Module):
             pixel_values, image_patches_mask=image_patches_mask,
             deterministic=deterministic,
         )
+        # scan-layout encoders have no per-layer taps; synthesize the one
+        # tap FLAVA consumes (hidden_states[-1] = pre-final-LN last hidden).
+        scanned = getattr(self.encoder, "scan_layers", False)
         encoder_output = self.encoder(
             embedding_output,
             attention_mask=attention_mask,
-            return_hidden_states=True,
-            return_attn_weights=True,
+            return_hidden_states=not scanned,
+            return_attn_weights=not scanned,
             deterministic=deterministic,
         )
+        hidden_states = encoder_output.hidden_states
+        if scanned:
+            hidden_states = (encoder_output.last_hidden_state,)
         sequence_output = self.layernorm(encoder_output.last_hidden_state)
         pooled = self.pooler(sequence_output) if self.pooler is not None else None
         return TransformerOutput(
             last_hidden_state=sequence_output,
             pooler_output=pooled,
-            hidden_states=encoder_output.hidden_states,
+            hidden_states=hidden_states,
             attentions=encoder_output.attentions,
         )
 
@@ -158,6 +164,7 @@ def flava_image_encoder(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    scan_layers: bool = False,
     moe_num_experts: Optional[int] = None,
     moe_top_k: int = 2,
     moe_capacity_factor: float = 1.25,
@@ -186,6 +193,7 @@ def flava_image_encoder(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        scan_layers=scan_layers,
         moe_num_experts=moe_num_experts,
         moe_top_k=moe_top_k,
         moe_capacity_factor=moe_capacity_factor,

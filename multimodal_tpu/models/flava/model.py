@@ -68,6 +68,7 @@ def flava_multimodal_encoder(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    scan_layers: bool = False,
     moe_num_experts: Optional[int] = None,
     moe_top_k: int = 2,
     moe_capacity_factor: float = 1.25,
@@ -86,6 +87,7 @@ def flava_multimodal_encoder(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        scan_layers=scan_layers,
         moe_num_experts=moe_num_experts,
         moe_top_k=moe_top_k,
         moe_capacity_factor=moe_capacity_factor,
@@ -360,6 +362,10 @@ def flava_model(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    # nn.scan layer stacking: one traced/compiled block per tower regardless
+    # of depth (depth-independent compile time for the 10B-scale configs);
+    # incompatible with MoE interleaving. See TransformerEncoder.scan_layers.
+    scan_layers: bool = False,
     # Mixture-of-experts towers (beyond-reference capability): every
     # ``moe_interval``-th layer of the image/text/mm encoders swaps its MLP
     # for a GShard capacity-dispatched MoE routed over ``ep_axis_name``;
@@ -391,7 +397,8 @@ def flava_model(
         image_size=image_size,
         patch_size=patch_size,
         num_channels=num_channels,
-        dtype=dtype, param_dtype=param_dtype, remat=remat, **moe_kwargs,
+        dtype=dtype, param_dtype=param_dtype, remat=remat,
+        scan_layers=scan_layers, **moe_kwargs,
     )
     text_encoder = flava_text_encoder(
         hidden_size=text_hidden_size,
@@ -405,7 +412,8 @@ def flava_model(
         pad_token_id=pad_token_id,
         type_vocab_size=type_vocab_size,
         max_position_embeddings=max_position_embeddings,
-        dtype=dtype, param_dtype=param_dtype, remat=remat, **moe_kwargs,
+        dtype=dtype, param_dtype=param_dtype, remat=remat,
+        scan_layers=scan_layers, **moe_kwargs,
     )
     mm_encoder = flava_multimodal_encoder(
         hidden_size=multimodal_hidden_size,
@@ -415,7 +423,8 @@ def flava_model(
         intermediate_size=multimodal_intermediate_size,
         intermediate_activation=multimodal_intermediate_activation,
         layer_norm_eps=multimodal_layer_norm_eps,
-        dtype=dtype, param_dtype=param_dtype, remat=remat, **moe_kwargs,
+        dtype=dtype, param_dtype=param_dtype, remat=remat,
+        scan_layers=scan_layers, **moe_kwargs,
     )
     dense = lambda d, name: nn.Dense(d, dtype=dtype, param_dtype=param_dtype, name=name)
     return FLAVAModel(

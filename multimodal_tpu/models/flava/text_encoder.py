@@ -32,6 +32,7 @@ def flava_text_encoder(
     dtype: Any = jnp.float32,
     param_dtype: Any = jnp.float32,
     remat: bool = False,
+    scan_layers: bool = False,
     moe_num_experts: Optional[int] = None,
     moe_top_k: int = 2,
     moe_capacity_factor: float = 1.25,
@@ -61,6 +62,7 @@ def flava_text_encoder(
         dtype=dtype,
         param_dtype=param_dtype,
         remat=remat,
+        scan_layers=scan_layers,
         moe_num_experts=moe_num_experts,
         moe_top_k=moe_top_k,
         moe_capacity_factor=moe_capacity_factor,

@@ -48,18 +48,22 @@ class FLAVATransformerWithoutEmbeddings(nn.Module):
             )
             hidden_states = jnp.concatenate([cls, hidden_states], axis=1)
 
+        scanned = getattr(self.encoder, "scan_layers", False)
         encoder_output = self.encoder(
             hidden_states,
             attention_mask=attention_mask,
-            return_hidden_states=True,
-            return_attn_weights=True,
+            return_hidden_states=not scanned,
+            return_attn_weights=not scanned,
             deterministic=deterministic,
         )
+        taps = encoder_output.hidden_states
+        if scanned:
+            taps = (encoder_output.last_hidden_state,)
         sequence_output = self.layernorm(encoder_output.last_hidden_state)
         pooled = self.pooler(sequence_output) if self.pooler is not None else None
         return TransformerOutput(
             last_hidden_state=sequence_output,
             pooler_output=pooled,
-            hidden_states=encoder_output.hidden_states,
+            hidden_states=taps,
             attentions=encoder_output.attentions,
         )

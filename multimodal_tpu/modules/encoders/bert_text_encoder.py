@@ -54,14 +54,21 @@ class BERTTextEncoder(nn.Module):
             inputs_embeds=inputs_embeds,
             deterministic=deterministic,
         )
+        # scan-layout encoders (scan_layers=True) have no per-layer taps;
+        # synthesize the one tap FLAVA consumes (hidden_states[-1] = the
+        # pre-final-LN last hidden state) from the scan carry instead.
+        scanned = getattr(self.encoder, "scan_layers", False)
         encoder_output = self.encoder(
             embedding_output,
             attention_mask=attention_mask,
-            return_hidden_states=return_hidden_states,
-            return_attn_weights=return_attn_weights,
+            return_hidden_states=return_hidden_states and not scanned,
+            return_attn_weights=return_attn_weights and not scanned,
             deterministic=deterministic,
         )
         last_hidden_state = encoder_output.last_hidden_state
+        hidden_states = encoder_output.hidden_states
+        if scanned and return_hidden_states:
+            hidden_states = (last_hidden_state,)
         pooled = encoder_output.pooler_output
         if self.layernorm is not None:
             last_hidden_state = self.layernorm(last_hidden_state)
@@ -70,7 +77,7 @@ class BERTTextEncoder(nn.Module):
         return TransformerOutput(
             last_hidden_state=last_hidden_state,
             pooler_output=pooled,
-            hidden_states=encoder_output.hidden_states,
+            hidden_states=hidden_states,
             attentions=encoder_output.attentions,
         )
 

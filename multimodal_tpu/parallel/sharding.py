@@ -57,6 +57,13 @@ DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"feedforward/bi$", P("ep", "tp")),
     (r"feedforward/bo$", P("ep")),
     (r"router/kernel$", P(None, None)),
+    # scan-layout encoders (TransformerEncoder(scan_layers=True)) stack a
+    # leading (n_layer,) dim on every block param; keep the Megatron split
+    # on the matmul dims and leave the layer dim unsharded (fsdp/tp placement
+    # is per-layer identical, so GSPMD treats the stack as n_layer slices).
+    (rf"layers/layer/.*{_COLUMN_PARALLEL}/kernel$", P(None, "fsdp", "tp")),
+    (rf"layers/layer/.*{_ROW_PARALLEL}/kernel$", P(None, "tp", "fsdp")),
+    (rf"layers/layer/.*{_COLUMN_PARALLEL}/bias$", P(None, "tp")),
     (rf"{_COLUMN_PARALLEL}/kernel$", P("fsdp", "tp")),
     (rf"{_ROW_PARALLEL}/kernel$", P("tp", "fsdp")),
     # column-parallel biases live on the tp-sharded output dim;
