@@ -63,22 +63,37 @@ def tower_flops(d, ff, layers, tokens):
                      + 2.0 * 2 * d * ff * tokens)
 
 
-def flava_fwd_flops_per_item(image_size=224, patch=16, vocab=30522):
+def flava_fwd_flops_per_item(image_size=224, patch=16, vocab=30522,
+                             size="base"):
     """Analytic matmul FLOPs for ONE sample through the pretrain forward:
-    image tower (197 tok), global + masked text towers (77 each), mm encoder
-    (6L over 274+2 tok), MLM/MIM/ITM/contrastive heads, dVAE encoder."""
+    image tower (197 tok), global + masked text towers (77 each), mm
+    encoder over 274+2 tok, MLM/MIM/ITM/contrastive heads, dVAE encoder.
+    Tower dims come from FLAVA_CONFIGS[size] (library defaults for base)."""
+    from multimodal_tpu.models.flava.configs import FLAVA_CONFIGS
+
+    c = FLAVA_CONFIGS[size]
+    d_i = c.get("image_hidden_size", 768)
+    ff_i = c.get("image_intermediate_size", 3072)
+    l_i = c.get("image_num_hidden_layers", 12)
+    d_t = c.get("text_hidden_size", 768)
+    ff_t = c.get("text_intermediate_size", 3072)
+    l_t = c.get("text_num_hidden_layers", 12)
+    d_m = c.get("multimodal_hidden_size", 768)
+    ff_m = c.get("multimodal_intermediate_size", 3072)
+    l_m = c.get("multimodal_num_hidden_layers", 6)
+
     n_img = (image_size // patch) ** 2 + 1          # 197
     n_txt = 77
-    img = 2.0 * (patch * patch * 3 * 768) * (n_img - 1) \
-        + tower_flops(768, 3072, 12, n_img)
-    txt = tower_flops(768, 3072, 12, n_txt)
+    img = 2.0 * (patch * patch * 3 * d_i) * (n_img - 1) \
+        + tower_flops(d_i, ff_i, l_i, n_img)
+    txt = tower_flops(d_t, ff_t, l_t, n_txt)
     masked_txt = txt
     mm_tokens = n_img + n_txt + 2
-    mm = tower_flops(768, 3072, 6, mm_tokens) \
-        + 2.0 * 768 * 768 * (n_img + n_txt)          # image/text -> mm proj
-    mlm_head = 2.0 * (768 * 768 + 768 * vocab) * n_txt
-    mim_head = 2.0 * (768 * 768 + 768 * 8192) * (n_img - 1)
-    heads = 2.0 * 768 * 768 * 6                      # ITM/contrastive/pool
+    mm = tower_flops(d_m, ff_m, l_m, mm_tokens) \
+        + 2.0 * d_i * d_m * n_img + 2.0 * d_t * d_m * n_txt   # -> mm proj
+    mlm_head = 2.0 * (d_t * d_t + d_t * vocab) * n_txt
+    mim_head = 2.0 * (d_m * d_m + d_m * 8192) * (n_img - 1)
+    heads = 2.0 * d_m * d_m * 6                      # ITM/contrastive/pool
     # dVAE encoder: 7-conv tower on 112x112 (dominated by first convs)
     dvae = 2.0 * 1.1e9
     return img + txt + masked_txt + mm + mlm_head + mim_head + heads + dvae
@@ -91,6 +106,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", default="base")
     ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--pure-bf16", action="store_true",
+                    help="bf16 params + AnyPrecision Kahan optimizer "
+                         "(8 bytes/param state; how 900m fits one v5e)")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="nn.scan stacked towers (depth-independent compile)")
     args = ap.parse_args()
 
     from multimodal_tpu.examples.flava.pretrain import (
@@ -109,7 +129,16 @@ def main():
         "train.log_interval=1000000",
         f"model.size={args.size}",
     ]
+    if args.pure_bf16:
+        overrides.append("train.pure_bf16=true")
     cfg = build_config(None, overrides, defaults=DEFAULTS)
+    if args.scan_layers:
+        # scan + remat pair for training: without remat, nn.scan saves every
+        # block's intermediates STACKED over layers (24x per-layer attention
+        # probs OOM'd a v5e at 900m); with nothing_saveable remat only the
+        # (n_layer, b, s, h) carry survives to the backward.
+        cfg["model"]["overrides"]["scan_layers"] = True
+        cfg["model"]["overrides"]["remat"] = True
     trainer, state = build_trainer_and_state(cfg)
     n_params = sum(int(math.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state["params"]))
@@ -147,7 +176,8 @@ def main():
     device_ips = args.batch / device_dt
 
     fwd = flava_fwd_flops_per_item(cfg["model"]["image_size"],
-                                   cfg["model"]["patch_size"])
+                                   cfg["model"]["patch_size"],
+                                   size=args.size)
     mfu = 3.0 * fwd * args.batch / device_dt / V5E_PEAK_BF16_FLOPS
 
     print(json.dumps({
