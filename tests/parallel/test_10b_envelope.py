@@ -260,3 +260,45 @@ def test_flava_10b_compiles_with_tensor_parallel():
 
     compiled = jax.jit(fwd_bwd).lower(abs_in, abs_batch).compile()
     assert compiled.memory_analysis().argument_size_in_bytes > 0
+
+
+@pytest.mark.slow
+def test_flava_10b_compiles_on_multislice_dcn_mesh():
+    """Multi-slice leg: the 10b step compiles over a hybrid dcn=2 x fsdp=4
+    mesh (gradient all-reduce crosses DCN, parameter all-gathers stay on
+    each slice's ICI — create_hybrid_mesh's layout contract). At real pod
+    scale the same plan is dcn x fsdp = 4 x 64; the per-device byte table
+    from the fsdp test applies unchanged (dcn is pure data parallel)."""
+    from multimodal_tpu.parallel.mesh import create_hybrid_mesh
+
+    cfg = FLAVA_CONFIGS["10b"]
+    model = flava_model_for_pretraining(
+        **cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        remat=True, scan_layers=True,
+    )
+    batch = _abstract_batch(8)
+    abs_params = jax.eval_shape(
+        lambda rng, b: model.init(rng, **_apply_kwargs(b)),
+        jax.random.PRNGKey(0), batch,
+    )
+    mesh = create_hybrid_mesh(dcn_dp=2, dp=1, fsdp=4, tp=1)
+    assert mesh.axis_names[0] == "dcn" and mesh.shape["dcn"] == 2
+
+    param_sh = fsdp_sharding(abs_params, mesh)
+    b_sh = batch_sharding(mesh)
+    abs_in = jax.tree_util.tree_map(
+        lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
+        abs_params, param_sh,
+    )
+    abs_batch = jax.tree_util.tree_map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=b_sh), batch
+    )
+
+    def fwd_bwd(params, b):
+        def loss_fn(p):
+            return model.apply(p, **_apply_kwargs(b)).losses.total()
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    compiled = jax.jit(fwd_bwd).lower(abs_in, abs_batch).compile()
+    assert compiled.memory_analysis().argument_size_in_bytes > 0
