@@ -19,6 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.ops.attention import scaled_dot_product_attention
+from multimodal_tpu.ops.fused_encoder import (
+    fused_encoder_available,
+    fused_qkv_attention,
+    key_padding_bias,
+)
 from multimodal_tpu.ops.kv_cache import QuantizedKV, quantize_kv
 
 
@@ -128,15 +133,46 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(
             3 * self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="input_proj"
         )(query)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = _split_heads(q, self.num_heads)
-        k = _split_heads(k, self.num_heads)
-        v = _split_heads(v, self.num_heads)
 
         dropout_rng = None
         rate = self.dropout if not deterministic else 0.0
         if rate > 0.0:
             dropout_rng = self.make_rng("dropout")
+
+        # Short-sequence Pallas fast path (ops/fused_encoder): consume the
+        # fused qkv buffer directly — no split/transpose copies, scores never
+        # in HBM. Covers unmasked towers (ViT) and BERT-style key-padding
+        # masks via the kernel's (B, S) bias lane; anything richer (per-query
+        # masks, attention dropout, cp, prob taps) keeps the XLA/flash path.
+        if (
+            not return_attn_weights
+            and self.cp_axis_name is None
+            and rate == 0.0
+            and query.ndim == 3
+            and fused_encoder_available(
+                query.shape[1], self.embed_dim, self.num_heads
+            )
+        ):
+            key_bias = None
+            fusable = attn_mask is None
+            if not fusable:
+                key_bias = key_padding_bias(
+                    attn_mask, query.shape[0], query.shape[1]
+                )
+                fusable = key_bias is not None
+            if fusable:
+                attn = fused_qkv_attention(
+                    qkv, self.num_heads, is_causal, None, key_bias
+                )
+                return nn.Dense(
+                    self.embed_dim, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="output_proj",
+                )(attn)
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.num_heads)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
 
         if self.cp_axis_name is not None and not return_attn_weights:
             if attn_mask is not None:

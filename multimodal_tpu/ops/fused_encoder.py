@@ -72,6 +72,40 @@ def fused_encoder_available(seq: int, embed_dim: int, num_heads: int) -> bool:
     ).lower()
 
 
+# Generic-module activation names (modules/layers/activation.ACT2FN) -> the
+# fused kernel's activation table. NOTE the "gelu" flip: the library's
+# "gelu" is exact (approximate=False) while the kernel table's "gelu" is the
+# tanh approximation — map through this, never pass ACT2FN names directly.
+FUSED_ACT_FOR = {
+    "gelu": "gelu_exact",
+    "gelu_tanh": "gelu",
+    "quick_gelu": "quick_gelu",
+    "relu": "relu",
+    "silu": "silu",
+    "swish": "silu",
+}
+
+
+def fused_mlp_available(in_dim: int, hidden_dim: int, out_dim: int) -> bool:
+    """Dispatch predicate for routing a generic two-matmul MLP through
+    ``fused_mlp``: TPU present (or forced for interpret tests) and
+    lane-aligned widths (the kernel keeps weights VMEM-resident in full
+    (din, dff)/(dff, dout) blocks)."""
+    if os.environ.get("MMTPU_DISABLE_FUSED_ENCODER"):
+        return False
+    if in_dim % 128 or hidden_dim % 128 or out_dim % 128:
+        return False
+    if os.environ.get("MMTPU_FORCE_FUSED_ENCODER"):
+        return True
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return plat in ("tpu", "axon") or "tpu" in getattr(
+        jax.devices()[0], "device_kind", ""
+    ).lower()
+
+
 def _batch_block(b: int, per_example_bytes: int) -> int:
     """Largest divisor of ``b`` whose block stays under the VMEM budget."""
     cap = max(1, _VMEM_BLOCK_BUDGET // max(per_example_bytes, 1))
@@ -87,7 +121,9 @@ def _batch_block(b: int, per_example_bytes: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _qkv_attn_kernel(qkv_ref, o_ref, *, scale, causal, seq, num_heads, d):
+def _attn_head_loop(qkv_ref, o_ref, kb, *, scale, causal, seq, num_heads, d):
+    """Shared forward head loop; ``kb`` is an optional (Bb, S) fp32
+    key-padding additive bias (0 = attend, large-negative = masked)."""
     dh = d // num_heads
     mask = None
     if causal:
@@ -102,6 +138,8 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, scale, causal, seq, num_heads, d):
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # (Bb, S, S) fp32
+        if kb is not None:
+            s = s + kb[:, None, :]
         if mask is not None:
             s = jnp.where(mask, s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -114,7 +152,18 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, scale, causal, seq, num_heads, d):
         o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
 
 
-def _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale):
+def _qkv_attn_kernel(qkv_ref, o_ref, *, scale, causal, seq, num_heads, d):
+    _attn_head_loop(qkv_ref, o_ref, None, scale=scale, causal=causal,
+                    seq=seq, num_heads=num_heads, d=d)
+
+
+def _qkv_attn_kernel_kb(qkv_ref, kb_ref, o_ref, *, scale, causal, seq,
+                        num_heads, d):
+    _attn_head_loop(qkv_ref, o_ref, kb_ref[...], scale=scale, causal=causal,
+                    seq=seq, num_heads=num_heads, d=d)
+
+
+def _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale, key_bias=None):
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
@@ -123,33 +172,45 @@ def _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale):
     per_ex = s * (three_d + d) * qkv.dtype.itemsize + s * s * 4
     bb = _batch_block(b, per_ex)
 
-    kernel = functools.partial(
-        _qkv_attn_kernel, scale=scale, causal=is_causal, seq=s,
-        num_heads=num_heads, d=d,
-    )
+    in_specs = [
+        pl.BlockSpec(
+            (bb, s, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    operands = [qkv]
+    if key_bias is not None:
+        kernel = functools.partial(
+            _qkv_attn_kernel_kb, scale=scale, causal=is_causal, seq=s,
+            num_heads=num_heads, d=d,
+        )
+        in_specs.append(
+            pl.BlockSpec((bb, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(key_bias.astype(jnp.float32))
+    else:
+        kernel = functools.partial(
+            _qkv_attn_kernel, scale=scale, causal=is_causal, seq=s,
+            num_heads=num_heads, d=d,
+        )
     return pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=[
-            pl.BlockSpec(
-                (bb, s, three_d), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
         interpret=_interpret(),
-    )(qkv)
+    )(*operands)
 
 
-def _qkv_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, causal, seq,
-                         num_heads, d):
+def _qkv_attn_bwd_loop(qkv_ref, g_ref, dqkv_ref, kb, *, scale, causal, seq,
+                       num_heads, d):
     """Blockwise attention backward: recompute p per head in VMEM, emit
     dqkv in the same fused (Bb, S, 3D) layout. Standard softmax-attention
     VJP: dv = p^T g, dp = g v^T, ds = p (dp - rowsum(dp*p)) * scale,
-    dq = ds k, dk = ds^T q."""
+    dq = ds k, dk = ds^T q. ``kb`` is the optional key-padding bias the
+    forward applied (masked keys get p ~ 0, so their dk/dv vanish)."""
     dh = d // num_heads
     mask = None
     if causal:
@@ -165,6 +226,8 @@ def _qkv_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, causal, seq,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
+        if kb is not None:
+            s = s + kb[:, None, :]
         if mask is not None:
             s = jnp.where(mask, s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -198,7 +261,20 @@ def _qkv_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, causal, seq,
         )
 
 
-def _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale):
+def _qkv_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, causal, seq,
+                         num_heads, d):
+    _qkv_attn_bwd_loop(qkv_ref, g_ref, dqkv_ref, None, scale=scale,
+                       causal=causal, seq=seq, num_heads=num_heads, d=d)
+
+
+def _qkv_attn_bwd_kernel_kb(qkv_ref, kb_ref, g_ref, dqkv_ref, *, scale,
+                            causal, seq, num_heads, d):
+    _qkv_attn_bwd_loop(qkv_ref, g_ref, dqkv_ref, kb_ref[...], scale=scale,
+                       causal=causal, seq=seq, num_heads=num_heads, d=d)
+
+
+def _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale,
+                            key_bias=None):
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
@@ -206,31 +282,43 @@ def _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale):
     # qkv + g + dqkv blocks (double-buffered) plus fp32 score temps
     per_ex = s * (three_d * 2 + d) * qkv.dtype.itemsize * 2 + 3 * s * s * 4
     bb = _batch_block(b, per_ex)
-    kernel = functools.partial(
-        _qkv_attn_bwd_kernel, scale=scale, causal=is_causal, seq=s,
-        num_heads=num_heads, d=d,
+    in_specs = [
+        pl.BlockSpec(
+            (bb, s, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [qkv]
+    if key_bias is not None:
+        kernel = functools.partial(
+            _qkv_attn_bwd_kernel_kb, scale=scale, causal=is_causal, seq=s,
+            num_heads=num_heads, d=d,
+        )
+        in_specs.append(
+            pl.BlockSpec((bb, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(key_bias.astype(jnp.float32))
+    else:
+        kernel = functools.partial(
+            _qkv_attn_bwd_kernel, scale=scale, causal=is_causal, seq=s,
+            num_heads=num_heads, d=d,
+        )
+    in_specs.append(
+        pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     )
+    operands.append(g)
     return pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=[
-            pl.BlockSpec(
-                (bb, s, three_d), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bb, s, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
         interpret=_interpret(),
-    )(qkv, g)
+    )(*operands)
 
 
-def _qkv_attention_xla(qkv, num_heads, is_causal, sm_scale):
+def _qkv_attention_xla(qkv, num_heads, is_causal, sm_scale, key_bias=None):
     """Reference XLA computation of the same function (backward path)."""
     b, s, three_d = qkv.shape
     d = three_d // 3
@@ -242,6 +330,8 @@ def _qkv_attention_xla(qkv, num_heads, is_causal, sm_scale):
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if key_bias is not None:
+        logits = logits + key_bias[:, None, None, :].astype(jnp.float32)
     if is_causal:
         causal = jnp.tril(jnp.ones((s, s), dtype=bool))
         logits = jnp.where(causal, logits, -1e30)
@@ -256,6 +346,7 @@ def fused_qkv_attention(
     num_heads: int,
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
+    key_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Self-attention straight off the fused QKV projection.
 
@@ -263,28 +354,80 @@ def fused_qkv_attention(
         qkv: ``(B, S, 3*D)`` — the fused in-projection output, laid out
             ``[q | k | v]`` along the feature axis (each of width D, heads
             contiguous within each part).
+        key_bias: optional ``(B, S)`` fp32 additive key-padding bias
+            (0 = attend, large-negative = masked), applied to every query
+            row — the BERT-style padded-text mask. Treated as data: no
+            gradient flows to it (callers pass ``stop_gradient`` masks).
     Returns:
         ``(B, S, D)`` attention output, ready for the out projection.
     """
-    return _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale)
+    return _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale, key_bias)
 
 
-def _qkv_attn_fwd(qkv, num_heads, is_causal, sm_scale):
-    return _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale), qkv
+def _qkv_attn_fwd(qkv, num_heads, is_causal, sm_scale, key_bias):
+    out = _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale, key_bias)
+    return out, (qkv, key_bias)
 
 
-def _qkv_attn_bwd(num_heads, is_causal, sm_scale, qkv, g):
-    return (
-        _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale),
+def _qkv_attn_bwd(num_heads, is_causal, sm_scale, res, g):
+    qkv, key_bias = res
+    dqkv = _qkv_attention_bwd_impl(
+        qkv, g, num_heads, is_causal, sm_scale, key_bias
     )
+    dkb = None if key_bias is None else jnp.zeros_like(key_bias)
+    return (dqkv, dkb)
 
 
 fused_qkv_attention.defvjp(_qkv_attn_fwd, _qkv_attn_bwd)
 
 
+def key_padding_bias(
+    attn_mask: jnp.ndarray, batch: int, seq: int
+) -> Optional[jnp.ndarray]:
+    """Convert a broadcast key-padding mask — bool or additive-float
+    ``(b|1, 1, 1, S)``, the shape every BERT-style tower emits — into the
+    ``(B, S)`` fp32 bias lane ``fused_qkv_attention`` accepts. Returns None
+    for any mask the fused kernel cannot express (per-query structure,
+    per-head bias), signalling the caller to keep the XLA path."""
+    if (
+        attn_mask.ndim != 4
+        or attn_mask.shape[1] != 1
+        or attn_mask.shape[2] != 1
+        or attn_mask.shape[3] != seq
+    ):
+        return None
+    if attn_mask.dtype == jnp.bool_:
+        kb = jnp.where(attn_mask[:, 0, 0, :], 0.0, -1e30).astype(jnp.float32)
+    elif jnp.issubdtype(attn_mask.dtype, jnp.floating):
+        kb = attn_mask[:, 0, 0, :].astype(jnp.float32)
+    else:
+        return None
+    if kb.shape[0] == 1 and batch > 1:
+        kb = jnp.broadcast_to(kb, (batch, seq))
+    elif kb.shape[0] != batch:
+        return None
+    return jax.lax.stop_gradient(kb)
+
+
 # --------------------------------------------------------------------------
 # fused MLP
 # --------------------------------------------------------------------------
+
+def _erf_poly(x):
+    """Abramowitz–Stegun 7.1.26 rational erf (|err| <= 1.5e-7): Mosaic has
+    no erf/erfc lowering, so the in-kernel exact gelu uses this. The XLA
+    fallback and the backward recompute keep the true ``lax.erf``."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact_kernel(x):
+    return 0.5 * x * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+
 
 _ACTIVATIONS = {
     "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
@@ -294,6 +437,10 @@ _ACTIVATIONS = {
     "silu": jax.nn.silu,
 }
 
+# In-kernel variants: identical except gelu_exact, which Mosaic cannot lower
+# (erf/erfc unimplemented) and so runs the 1.5e-7-accurate polynomial.
+_KERNEL_ACTIVATIONS = dict(_ACTIVATIONS, gelu_exact=_gelu_exact_kernel)
+
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act):
     x = x_ref[...]  # (Rb, Din)
@@ -301,7 +448,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act):
         x, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[...].astype(jnp.float32)  # bias blocks are (1, D)
-    h = _ACTIVATIONS[act](h).astype(x.dtype)
+    h = _KERNEL_ACTIVATIONS[act](h).astype(x.dtype)
     o = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

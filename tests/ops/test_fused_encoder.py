@@ -137,3 +137,186 @@ def test_availability_gates():
         assert not fused_encoder_available(50, 768, 12)
     finally:
         del os.environ["MMTPU_DISABLE_FUSED_ENCODER"]
+
+
+# ---------------------------------------------------------------------------
+# round 4: key-padding bias lane + generic-module (MHSA / MLP) dispatch
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_qkv_attention_key_bias_matches_xla(causal):
+    from multimodal_tpu.ops.fused_encoder import key_padding_bias
+
+    r = np.random.RandomState(7)
+    b, s, d, h = 3, 41, 96, 6
+    qkv = jnp.asarray(r.randn(b, s, 3 * d), jnp.float32)
+    valid = jnp.asarray(r.rand(b, s) > 0.3)
+    valid = valid.at[:, 0].set(True)  # at least one attendable key per row
+    kb = key_padding_bias(valid[:, None, None, :], b, s)
+    assert kb is not None and kb.shape == (b, s)
+    out = fused_qkv_attention(qkv, h, causal, None, kb)
+    ref = _qkv_attention_xla(qkv, h, causal, None, kb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_qkv_attention_key_bias_grad_matches_xla():
+    from multimodal_tpu.ops.fused_encoder import key_padding_bias
+
+    r = np.random.RandomState(8)
+    b, s, d, h = 2, 23, 48, 6
+    qkv = jnp.asarray(r.randn(b, s, 3 * d), jnp.float32)
+    valid = jnp.asarray(r.rand(b, s) > 0.4).at[:, 0].set(True)
+    kb = key_padding_bias(valid[:, None, None, :], b, s)
+
+    gk = jax.grad(lambda t: jnp.sum(jnp.sin(
+        fused_qkv_attention(t, h, False, None, kb))))(qkv)
+    gx = jax.grad(lambda t: jnp.sum(jnp.sin(
+        _qkv_attention_xla(t, h, False, None, kb))))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-5)
+
+
+def test_key_padding_bias_rejects_unfusable_masks():
+    from multimodal_tpu.ops.fused_encoder import key_padding_bias
+
+    full = jnp.ones((2, 1, 7, 7), bool)       # per-query structure
+    assert key_padding_bias(full, 2, 7) is None
+    per_head = jnp.zeros((2, 4, 1, 7), jnp.float32)
+    assert key_padding_bias(per_head, 2, 7) is None
+    ok = jnp.ones((1, 1, 1, 7), bool)          # broadcast batch
+    kb = key_padding_bias(ok, 3, 7)
+    assert kb is not None and kb.shape == (3, 7)
+
+
+def test_mhsa_module_identical_fused_vs_unfused(monkeypatch):
+    """MultiHeadSelfAttention (the FLAVA/BERT/ViT tower attention) must
+    compute the same function whichever path dispatch picks — including a
+    BERT-style bool (b, 1, 1, s) key-padding mask."""
+    from multimodal_tpu.modules.layers.multi_head_attention import (
+        MultiHeadSelfAttention,
+    )
+
+    r = np.random.RandomState(9)
+    b, s, d = 2, 31, 96
+    mod = MultiHeadSelfAttention(embed_dim=d, num_heads=6)
+    x = jnp.asarray(r.randn(b, s, d), jnp.float32)
+    mask = jnp.asarray(r.rand(b, s) > 0.25).at[:, 0].set(True)[:, None, None, :]
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    for m in (None, mask):
+        monkeypatch.setenv("MMTPU_FORCE_FUSED_ENCODER", "1")
+        fused_out = mod.apply(params, x, attn_mask=m)
+        monkeypatch.delenv("MMTPU_FORCE_FUSED_ENCODER")
+        monkeypatch.setenv("MMTPU_DISABLE_FUSED_ENCODER", "1")
+        plain_out = mod.apply(params, x, attn_mask=m)
+        monkeypatch.delenv("MMTPU_DISABLE_FUSED_ENCODER")
+        np.testing.assert_allclose(
+            np.asarray(fused_out), np.asarray(plain_out), atol=2e-5
+        )
+
+
+def test_mhsa_grad_identical_fused_vs_unfused(monkeypatch):
+    from multimodal_tpu.modules.layers.multi_head_attention import (
+        MultiHeadSelfAttention,
+    )
+
+    r = np.random.RandomState(10)
+    b, s, d = 2, 19, 48
+    mod = MultiHeadSelfAttention(embed_dim=d, num_heads=6)
+    x = jnp.asarray(r.randn(b, s, d), jnp.float32)
+    mask = jnp.asarray(r.rand(b, s) > 0.3).at[:, 0].set(True)[:, None, None, :]
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, env):
+        return jnp.sum(mod.apply(p, x, attn_mask=mask) ** 2)
+
+    monkeypatch.setenv("MMTPU_FORCE_FUSED_ENCODER", "1")
+    g_fused = jax.grad(loss)(params, "f")
+    monkeypatch.delenv("MMTPU_FORCE_FUSED_ENCODER")
+    monkeypatch.setenv("MMTPU_DISABLE_FUSED_ENCODER", "1")
+    g_plain = jax.grad(loss)(params, "p")
+    monkeypatch.delenv("MMTPU_DISABLE_FUSED_ENCODER")
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=3e-5
+        ),
+        g_fused, g_plain,
+    )
+
+
+@pytest.mark.parametrize("act", ["gelu", "gelu_tanh", "quick_gelu", "relu"])
+def test_mlp_module_identical_fused_vs_unfused(monkeypatch, act):
+    """The generic MLP (every transformer block's feed-forward) must compute
+    the same function on both paths — in particular the library's exact
+    'gelu' must map to the kernel's 'gelu_exact', not its tanh 'gelu'."""
+    from multimodal_tpu.modules.layers.mlp import MLP
+
+    r = np.random.RandomState(11)
+    mod = MLP(in_dim=128, out_dim=128, hidden_dims=256, dropout=0.0,
+              activation=act)
+    x = jnp.asarray(r.randn(2, 9, 128), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("MMTPU_FORCE_FUSED_ENCODER", "1")
+    fused_out = mod.apply(params, x)
+    monkeypatch.delenv("MMTPU_FORCE_FUSED_ENCODER")
+    monkeypatch.setenv("MMTPU_DISABLE_FUSED_ENCODER", "1")
+    plain_out = mod.apply(params, x)
+    monkeypatch.delenv("MMTPU_DISABLE_FUSED_ENCODER")
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(plain_out), atol=2e-5
+    )
+
+
+def test_mlp_param_tree_stable_across_paths(monkeypatch):
+    """Dispatch must not change the parameter tree or its init values —
+    checkpoints and sharding rules address hidden_0/out regardless of path."""
+    from multimodal_tpu.modules.layers.mlp import MLP
+
+    x = jnp.zeros((2, 5, 128), jnp.float32)
+    mod = MLP(in_dim=128, out_dim=128, hidden_dims=256, dropout=0.1,
+              activation="gelu")
+    monkeypatch.setenv("MMTPU_DISABLE_FUSED_ENCODER", "1")
+    p_plain = mod.init(jax.random.PRNGKey(3), x)
+    monkeypatch.delenv("MMTPU_DISABLE_FUSED_ENCODER")
+    monkeypatch.setenv("MMTPU_FORCE_FUSED_ENCODER", "1")
+    p_fused = mod.init(jax.random.PRNGKey(3), x)
+    monkeypatch.delenv("MMTPU_FORCE_FUSED_ENCODER")
+    assert jax.tree_util.tree_structure(p_plain) == jax.tree_util.tree_structure(p_fused)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a), np.asarray(c)),
+        p_plain, p_fused,
+    )
+
+
+def test_encoder_layer_identical_fused_vs_unfused(monkeypatch):
+    """FLAVA-shape TransformerEncoderLayer end to end (pre-norm, exact gelu,
+    key-padding mask): fused dispatch == XLA path, forward and gradients."""
+    from multimodal_tpu.modules.layers.transformer import TransformerEncoderLayer
+
+    r = np.random.RandomState(12)
+    b, s, d = 2, 29, 128
+    layer = TransformerEncoderLayer(
+        d_model=d, n_head=8, dim_feedforward=256, dropout=0.0,
+        activation="gelu", norm_first=True,
+    )
+    x = jnp.asarray(r.randn(b, s, d), jnp.float32)
+    mask = jnp.asarray(r.rand(b, s) > 0.2).at[:, 0].set(True)[:, None, None, :]
+    params = layer.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(layer.apply(p, x, mask) ** 2)
+
+    monkeypatch.setenv("MMTPU_FORCE_FUSED_ENCODER", "1")
+    out_f, g_f = layer.apply(params, x, mask), jax.grad(loss)(params)
+    monkeypatch.delenv("MMTPU_FORCE_FUSED_ENCODER")
+    monkeypatch.setenv("MMTPU_DISABLE_FUSED_ENCODER", "1")
+    out_p, g_p = layer.apply(params, x, mask), jax.grad(loss)(params)
+    monkeypatch.delenv("MMTPU_DISABLE_FUSED_ENCODER")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=3e-5)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=1e-4
+        ),
+        g_f, g_p,
+    )
