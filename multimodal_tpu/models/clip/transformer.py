@@ -16,7 +16,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.modules.layers.activation import quick_gelu
-from multimodal_tpu.modules.layers.dense_params import DenseParams, dense_apply
+from multimodal_tpu.modules.layers.dense_params import (
+    DenseParams,
+    dense_apply,
+    dense_interception_active,
+)
 from multimodal_tpu.ops.attention import scaled_dot_product_attention
 from multimodal_tpu.ops.fused_encoder import (
     fused_encoder_available,
@@ -64,6 +68,11 @@ class CLIPEncoderLayer(nn.Module):
 
         # MLP (pre-norm)
         y = ln("norm2")(x.astype(jnp.float32)).astype(self.dtype)
+        if dense_interception_active():
+            # interceptor hooks (multi-LoRA serving) need module-boundary
+            # Dense calls; same param names as the DenseParams fast path
+            h_mid = quick_gelu(dense(self.dim_feedforward, "linear1")(y))
+            return x + dense(e, "linear2")(h_mid)
         w1, b1 = DenseParams(
             self.dim_feedforward, param_dtype=self.param_dtype, name="linear1"
         )(e)

@@ -11,10 +11,34 @@ converters (``utils/checkpoint.py``) and sharding rules address.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Layers that route weights around nn.Dense (DenseParams + fused Pallas
+# kernels) are invisible to nn.intercept_methods hooks. Interceptor-based
+# features (serving/multi_lora.py's per-request adapters) enter this scope
+# so those layers fall back to plain nn.Dense calls — same parameter tree,
+# every adapted matmul visible at the module boundary.
+_INTERCEPT_DEPTH = 0
+
+
+@contextlib.contextmanager
+def dense_interception():
+    """Within this scope, fast paths that bypass ``nn.Dense`` must defer to
+    module-boundary Dense calls (checked via ``dense_interception_active``)."""
+    global _INTERCEPT_DEPTH
+    _INTERCEPT_DEPTH += 1
+    try:
+        yield
+    finally:
+        _INTERCEPT_DEPTH -= 1
+
+
+def dense_interception_active() -> bool:
+    return _INTERCEPT_DEPTH > 0
 
 
 class DenseParams(nn.Module):

@@ -12,7 +12,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodal_tpu.modules.layers.activation import get_activation
-from multimodal_tpu.modules.layers.dense_params import DenseParams, dense_apply
+from multimodal_tpu.modules.layers.dense_params import (
+    DenseParams,
+    dense_apply,
+    dense_interception_active,
+)
 from multimodal_tpu.ops.fused_encoder import (
     FUSED_ACT_FOR,
     fused_mlp,
@@ -53,6 +57,9 @@ class MLP(nn.Module):
             len(hidden_dims) == 1
             and self.normalization is None
             and x.shape[-1] == self.in_dim
+            # interceptor hooks (multi-LoRA serving) need the nn.Dense
+            # module path below — same param names, every matmul visible
+            and not dense_interception_active()
         ):
             h = hidden_dims[0]
             w1, b1 = DenseParams(

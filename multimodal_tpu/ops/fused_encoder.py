@@ -503,6 +503,109 @@ def _mlp_xla(x, w1, b1, w2, b2, activation):
     return h @ w2 + b2.astype(x.dtype)
 
 
+# fp32 (act(z), act'(z)) pairs for the blockwise backward recompute. The
+# derivatives are the exact analytic forms of _ACTIVATIONS' entries, so the
+# kernel backward matches jax.vjp of the XLA path to float tolerance
+# (gelu_exact's in-kernel erf is the 1.5e-7 polynomial, as in the forward).
+def _act_and_grad(name, z):
+    if name == "quick_gelu":
+        s = jax.nn.sigmoid(1.702 * z)
+        return z * s, s * (1.0 + 1.702 * z * (1.0 - s))
+    if name == "silu":
+        s = jax.nn.sigmoid(z)
+        return z * s, s * (1.0 + z * (1.0 - s))
+    if name == "relu":
+        return jnp.maximum(z, 0.0), (z > 0.0).astype(z.dtype)
+    if name == "gelu":  # tanh approximation
+        c = 0.7978845608028654  # sqrt(2/pi)
+        u = c * (z + 0.044715 * z ** 3)
+        t = jnp.tanh(u)
+        du = c * (1.0 + 3 * 0.044715 * z * z)
+        return 0.5 * z * (1.0 + t), 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * du
+    if name == "gelu_exact":
+        erf = _erf_poly(z * (2.0 ** -0.5))
+        pdf = jnp.exp(-0.5 * z * z) * 0.3989422804014327  # 1/sqrt(2*pi)
+        return 0.5 * z * (1.0 + erf), 0.5 * (1.0 + erf) + z * pdf
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, dx_ref, da_ref,
+                    h_ref, *, act):
+    """Row-block MLP backward stage 1: recompute z = x@W1+b1 in VMEM (fp32
+    accumulate, matching the forward kernel), emit
+      h  = act(z)            (for dW2 = h^T g outside)
+      da = (g @ W2^T)*act'(z) (for dW1 = x^T da, db1 = sum da outside)
+      dx = da @ W1^T
+    The fp32 (rows, d_ff) tensors never touch HBM — the XLA-recompute VJP
+    this replaces materialized them (z, act-grad, dh) every step."""
+    x = x_ref[...]
+    g = g_ref[...]
+    z = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h, dact = _act_and_grad(act, z)
+    dh = jax.lax.dot_general(  # g @ W2^T -> (Rb, Dff)
+        g, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da = dh * dact
+    da_c = da.astype(da_ref.dtype)
+    dx = jax.lax.dot_general(  # da @ W1^T -> (Rb, Din)
+        da_c, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h_ref[...] = h.astype(h_ref.dtype)
+    da_ref[...] = da_c
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _mlp_bwd_pallas(x2, g2, w1, b1, w2, activation):
+    """Stage-1 kernel launch over row blocks; returns (dx, da, h) with
+    da/h in the compute dtype. Caller handles the weight/bias grads."""
+    rows, din = x2.shape
+    dff = w1.shape[-1]
+    dout = w2.shape[-1]
+    itm = x2.dtype.itemsize
+    weight_bytes = (din * dff + dff * dout) * w1.dtype.itemsize
+    # per-row: x/dx/g blocks double-buffered + da/h output blocks
+    # double-buffered + ~4 fp32 (Rb, Dff) compiler stack temps (z, act',
+    # dh, da — measured: the Mosaic stack runs ~1.2x this model, so the
+    # pallas_call raises vmem_limit_bytes to 2x budget for headroom)
+    per_row = (2 * din + dout) * itm * 2 + 2 * dff * itm * 2 + 4 * dff * 4
+    budget = _MLP_VMEM_BUDGET - weight_bytes
+    if budget < per_row * 8:
+        return None
+    rb = min(256, max(8, budget // max(per_row, 1) // 8 * 8))
+    grid = pl.cdiv(rows, rb)
+    kernel = functools.partial(_mlp_bwd_kernel, act=activation)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rb, din), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dff, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, din), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, dff), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, dff), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, din), x2.dtype),
+            jax.ShapeDtypeStruct((rows, dff), x2.dtype),
+            jax.ShapeDtypeStruct((rows, dff), x2.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * _MLP_VMEM_BUDGET
+        ),
+        interpret=_interpret(),
+    )(x2, g2, w1, b1.reshape(1, dff), w2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_mlp(x, w1, b1, w2, b2, activation: str = "gelu"):
     """act(x @ W1 + b1) @ W2 + b2 with the intermediate in VMEM only.
@@ -520,10 +623,38 @@ def _mlp_fwd(x, w1, b1, w2, b2, activation):
 
 def _mlp_bwd(activation, res, g):
     x, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda *a: _mlp_xla(*a, activation), x, w1, b1, w2, b2
-    )
-    return vjp(g)
+    din = x.shape[-1]
+    dout = w2.shape[-1]
+    rows = 1
+    for dim in x.shape[:-1]:
+        rows *= dim
+    staged = None
+    if fused_mlp_available(din, w1.shape[-1], dout):
+        staged = _mlp_bwd_pallas(
+            x.reshape(rows, din), g.reshape(rows, dout), w1, b1, w2,
+            activation,
+        )
+    if staged is None:
+        # weights too large for a useful row block (matches the forward's
+        # fallback) or no TPU: XLA-recompute VJP
+        _, vjp = jax.vjp(
+            lambda *a: _mlp_xla(*a, activation), x, w1, b1, w2, b2
+        )
+        return vjp(g)
+    dx, da, h = staged
+    g2 = g.reshape(rows, dout)
+    x2 = x.reshape(rows, din)
+    # weight/bias grads as two large MXU GEMMs + two column sums off the
+    # compact compute-dtype buffers (fp32 accumulation)
+    dw1 = jax.lax.dot_general(
+        x2, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w1.dtype)
+    dw2 = jax.lax.dot_general(
+        h, g2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w2.dtype)
+    db1 = jnp.sum(da.astype(jnp.float32), axis=0).astype(b1.dtype)
+    db2 = jnp.sum(g2.astype(jnp.float32), axis=0).astype(b2.dtype)
+    return dx.reshape(x.shape), dw1, db1, dw2, db2
 
 
 fused_mlp.defvjp(_mlp_fwd, _mlp_bwd)

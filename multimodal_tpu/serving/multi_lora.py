@@ -153,7 +153,12 @@ def multi_lora_scope(stacked, adapter_ids: jnp.ndarray, strict: bool = True):
         delta = jnp.einsum("b...r,bro->b...o", delta, b)
         return y + (delta * (factor.alpha / rank)).astype(y.dtype)
 
-    with nn.intercept_methods(interceptor):
+    from multimodal_tpu.modules.layers.dense_params import dense_interception
+
+    # dense_interception makes DenseParams/fused-kernel fast paths (MLP,
+    # CLIP feedforward) fall back to module-boundary nn.Dense calls so the
+    # interceptor sees every adapted matmul
+    with nn.intercept_methods(interceptor), dense_interception():
         yield
     if strict and consumed != expected:
         missing = sorted(expected - consumed)

@@ -320,3 +320,61 @@ def test_encoder_layer_identical_fused_vs_unfused(monkeypatch):
         ),
         g_f, g_p,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: blockwise Pallas MLP backward (no fp32 (rows, d_ff) HBM staging)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "act", ["quick_gelu", "gelu", "gelu_exact", "relu", "silu"]
+)
+def test_fused_mlp_pallas_backward_matches_xla(act):
+    """Lane-aligned dims route the backward through _mlp_bwd_pallas (the
+    row-block kernel); all five grads must match jax.vjp of the XLA path."""
+    from multimodal_tpu.ops.fused_encoder import _mlp_bwd_pallas, fused_mlp_available
+
+    assert fused_mlp_available(128, 256, 128)
+    r = np.random.RandomState(20)
+    x = jnp.asarray(r.randn(3, 18, 128), jnp.float32)  # rows=54, not % rb
+    w1 = jnp.asarray(r.randn(128, 256) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.randn(256) * 0.01, jnp.float32)
+    w2 = jnp.asarray(r.randn(256, 128) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.randn(128) * 0.01, jnp.float32)
+    # the staged kernel must actually engage at these shapes
+    assert _mlp_bwd_pallas(
+        x.reshape(-1, 128), jnp.zeros((54, 128), jnp.float32), w1, b1, w2, act
+    ) is not None
+
+    def lk(*a):
+        return jnp.sum(jnp.sin(fused_mlp(*a, act)))
+
+    def lx(*a):
+        return jnp.sum(jnp.sin(_mlp_xla(*a, act)))
+
+    gk = jax.grad(lk, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(lx, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_fused_mlp_backward_fallback_when_weights_exceed_vmem():
+    """Oversized weights: backward must take the XLA-vjp fallback and still
+    produce correct grads (mirrors the forward's fallback test)."""
+    r = np.random.RandomState(21)
+    x = jnp.asarray(r.randn(2, 4, 1024), jnp.float32)
+    w1 = jnp.asarray(r.randn(1024, 4096) * 0.02, jnp.float32)
+    b1 = jnp.zeros(4096, jnp.float32)
+    w2 = jnp.asarray(r.randn(4096, 1024) * 0.02, jnp.float32)
+    b2 = jnp.zeros(1024, jnp.float32)
+    gk = jax.grad(lambda *a: jnp.sum(fused_mlp(*a, "gelu") ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(lambda *a: jnp.sum(_mlp_xla(*a, "gelu") ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
