@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_FUSED_SEQ = 256          # above this, use flash / XLA instead
 _VMEM_BLOCK_BUDGET = 6 << 20  # attention: in/out blocks per grid step (2x buffered)
 _MLP_VMEM_BUDGET = 14 << 20   # mlp: weights resident + row blocks
+_MLP_BWD_VMEM_BUDGET = 20 << 20  # mlp backward: resident weights + 128-row blocks
 
 
 def _interpret() -> bool:
@@ -573,10 +574,12 @@ def _mlp_bwd_pallas(x2, g2, w1, b1, w2, activation):
     # dh, da — measured: the Mosaic stack runs ~1.2x this model, so the
     # pallas_call raises vmem_limit_bytes to 2x budget for headroom)
     per_row = (2 * din + dout) * itm * 2 + 2 * dff * itm * 2 + 4 * dff * 4
-    budget = _MLP_VMEM_BUDGET - weight_bytes
+    budget = _MLP_BWD_VMEM_BUDGET - weight_bytes
     if budget < per_row * 8:
         return None
     rb = min(256, max(8, budget // max(per_row, 1) // 8 * 8))
+    if rb >= 128:
+        rb = rb // 128 * 128  # full-width MXU row tiles
     grid = pl.cdiv(rows, rb)
     kernel = functools.partial(_mlp_bwd_kernel, act=activation)
     return pl.pallas_call(
@@ -600,7 +603,112 @@ def _mlp_bwd_pallas(x2, g2, w1, b1, w2, activation):
             jax.ShapeDtypeStruct((rows, dff), x2.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * _MLP_VMEM_BUDGET
+            vmem_limit_bytes=2 * _MLP_BWD_VMEM_BUDGET
+        ),
+        interpret=_interpret(),
+    )(x2, g2, w1, b1.reshape(1, dff), w2)
+
+
+def _mlp_bwd_acc_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, dx_ref,
+                        dw1_ref, dw2_ref, db1_ref, *, act, rb, total_rows):
+    """Single-kernel MLP backward: per row block, recompute z = x@W1+b1 in
+    VMEM and ACCUMULATE the weight grads into fp32 VMEM-resident outputs
+    (constant index maps) across the sequential grid — nothing but x, g,
+    dx and the final dW/db ever touch HBM. The dW GEMMs contract over the
+    128-row block (K=128: one full systolic pass)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    x = x_ref[...]
+    g = g_ref[...]
+    if total_rows % rb:
+        # ragged tail: zero padding rows so they cannot leak into the
+        # accumulated dW/db (dx's padding rows are masked on write anyway)
+        row = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0) + i * rb
+        valid = row < total_rows
+        x = jnp.where(valid, x, 0)
+        g = jnp.where(valid, g, 0)
+    z = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h, dact = _act_and_grad(act, z)
+    dh = jax.lax.dot_general(
+        g, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da = dh * dact
+    da_c = da.astype(x.dtype)
+    h_c = h.astype(x.dtype)
+    dx = jax.lax.dot_general(
+        da_c, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dw1_ref[...] += jax.lax.dot_general(  # x^T da -> (Din, Dff)
+        x, da_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_ref[...] += jax.lax.dot_general(  # h^T g -> (Dff, Dout)
+        h_c, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+
+
+_MLP_BWD_ACC_VMEM_BUDGET = 48 << 20  # weights + 2 fp32 dW accumulators
+
+
+def _mlp_bwd_acc_pallas(x2, g2, w1, b1, w2, activation):
+    """Launch the accumulating backward; returns (dx, dw1_f32, dw2_f32,
+    db1_f32) or None when the dW accumulators don't fit VMEM."""
+    rows, din = x2.shape
+    dff = w1.shape[-1]
+    dout = w2.shape[-1]
+    itm = x2.dtype.itemsize
+    resident = (
+        (din * dff + dff * dout) * w1.dtype.itemsize  # weights
+        + (din * dff + dff * dout) * 4                # fp32 dW accumulators
+        + dff * 4
+    )
+    rb = 128
+    per_row = (2 * din + dout) * itm * 2 + 4 * dff * 4
+    if resident + rb * per_row > _MLP_BWD_ACC_VMEM_BUDGET:
+        return None
+    grid = pl.cdiv(rows, rb)
+    kernel = functools.partial(
+        _mlp_bwd_acc_kernel, act=activation, rb=rb, total_rows=rows
+    )
+    zero = lambda i: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rb, din), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dff), zero, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dff), zero, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dff, dout), zero, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, din), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dff), zero, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dff, dout), zero, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dff), zero, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, din), x2.dtype),
+            jax.ShapeDtypeStruct((din, dff), jnp.float32),
+            jax.ShapeDtypeStruct((dff, dout), jnp.float32),
+            jax.ShapeDtypeStruct((1, dff), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MLP_BWD_ACC_VMEM_BUDGET + (16 << 20)
         ),
         interpret=_interpret(),
     )(x2, g2, w1, b1.reshape(1, dff), w2)
@@ -622,14 +730,41 @@ def _mlp_fwd(x, w1, b1, w2, b2, activation):
 
 
 def _mlp_bwd(activation, res, g):
+    # Default: XLA-recompute VJP. Measured on v5e (scripts/bench_mlp_bwd.py,
+    # BENCHMARKS.md round 5): the Pallas backward tiers below reach parity
+    # in isolation (3.08-3.11 ms vs 3.12 ms at CLIP-vision batch-256
+    # shapes — the backward is COMPUTE-bound, ~116 TF/s effective, so the
+    # kernels' byte savings buy nothing) but lose ~5% on the full train
+    # step: the opaque custom call blocks XLA from fusing/scheduling the
+    # surrounding residual/LN backward ops. Opt in with MMTPU_FUSED_MLP_BWD=1
+    # for hardware where the trade flips.
     x, w1, b1, w2, b2 = res
     din = x.shape[-1]
     dout = w2.shape[-1]
     rows = 1
     for dim in x.shape[:-1]:
         rows *= dim
+    if os.environ.get("MMTPU_FUSED_MLP_BWD") and fused_mlp_available(
+        din, w1.shape[-1], dout
+    ):
+        acc = _mlp_bwd_acc_pallas(
+            x.reshape(rows, din), g.reshape(rows, dout), w1, b1, w2,
+            activation,
+        )
+        if acc is not None:
+            dx, dw1_f, dw2_f, db1_f = acc
+            g2 = g.reshape(rows, dout)
+            return (
+                dx.reshape(x.shape),
+                dw1_f.astype(w1.dtype),
+                db1_f[0].astype(b1.dtype),
+                dw2_f.astype(w2.dtype),
+                jnp.sum(g2.astype(jnp.float32), axis=0).astype(b2.dtype),
+            )
     staged = None
-    if fused_mlp_available(din, w1.shape[-1], dout):
+    if os.environ.get("MMTPU_FUSED_MLP_BWD") and fused_mlp_available(
+        din, w1.shape[-1], dout
+    ):
         staged = _mlp_bwd_pallas(
             x.reshape(rows, din), g.reshape(rows, dout), w1, b1, w2,
             activation,

@@ -23,6 +23,8 @@ from multimodal_tpu.ops.fused_encoder import (
 @pytest.fixture(autouse=True)
 def _force_fused(monkeypatch):
     monkeypatch.setenv("MMTPU_FORCE_FUSED_ENCODER", "1")
+    # exercise the opt-in Pallas MLP backward tiers in this suite
+    monkeypatch.setenv("MMTPU_FUSED_MLP_BWD", "1")
 
 
 @pytest.mark.parametrize(
@@ -373,6 +375,60 @@ def test_fused_mlp_backward_fallback_when_weights_exceed_vmem():
     gk = jax.grad(lambda *a: jnp.sum(fused_mlp(*a, "gelu") ** 2),
                   argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     gx = jax.grad(lambda *a: jnp.sum(_mlp_xla(*a, "gelu") ** 2),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+
+def test_fused_mlp_acc_backward_multiblock_ragged():
+    """The accumulating single-kernel backward (dW summed across row-block
+    grid steps in VMEM) with >1 grid step and a ragged tail: padding rows
+    must not leak into dW/db."""
+    from multimodal_tpu.ops.fused_encoder import _mlp_bwd_acc_pallas
+
+    r = np.random.RandomState(22)
+    rows = 300  # 3 blocks of 128 with a 44-row tail
+    x = jnp.asarray(r.randn(rows, 128), jnp.float32)
+    g = jnp.asarray(r.randn(rows, 128), jnp.float32)
+    w1 = jnp.asarray(r.randn(128, 256) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.randn(256) * 0.01, jnp.float32)
+    w2 = jnp.asarray(r.randn(256, 128) * 0.05, jnp.float32)
+    out = _mlp_bwd_acc_pallas(x, g, w1, b1, w2, "quick_gelu")
+    assert out is not None
+    dx, dw1, dw2, db1 = out
+
+    def f(x, w1, b1, w2):
+        h = (x @ w1 + b1).astype(jnp.float32)
+        h = (h * jax.nn.sigmoid(1.702 * h)).astype(x.dtype)
+        return h @ w2
+
+    _, vjp = jax.vjp(f, x, w1, b1, w2)
+    rdx, rdw1, rdb1, rdw2 = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(rdw1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dw2), np.asarray(rdw2), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(db1[0]), np.asarray(rdb1), atol=2e-3
+    )
+
+
+def test_fused_mlp_staged_backward_tier(monkeypatch):
+    """With the accumulating kernel unavailable (dW exceeds its VMEM
+    budget), the staged two-kernel tier must serve the grads."""
+    import multimodal_tpu.ops.fused_encoder as fe
+
+    monkeypatch.setattr(fe, "_mlp_bwd_acc_pallas", lambda *a, **k: None)
+    r = np.random.RandomState(23)
+    x = jnp.asarray(r.randn(2, 70, 128), jnp.float32)
+    w1 = jnp.asarray(r.randn(128, 256) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.randn(256) * 0.01, jnp.float32)
+    w2 = jnp.asarray(r.randn(256, 128) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.randn(128) * 0.01, jnp.float32)
+    gk = jax.grad(lambda *a: jnp.sum(jnp.sin(fe.fused_mlp(*a, "silu"))),
+                  argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(lambda *a: jnp.sum(jnp.sin(fe._mlp_xla(*a, "silu"))),
                   argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     for a, b in zip(gk, gx):
         np.testing.assert_allclose(
