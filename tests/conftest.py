@@ -24,3 +24,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap compiled-executable accumulation across the full suite.
+
+    A single `pytest tests/` process compiles thousands of XLA CPU
+    executables; past ~400 tests the CPU client has segfaulted inside
+    backend_compile_and_load (observed twice at the same suite position,
+    while the same tests pass in a fresh process). Dropping the jit caches
+    at module boundaries keeps the live-executable population bounded; each
+    module recompiles its own programs anyway."""
+    yield
+    jax.clear_caches()
