@@ -11,6 +11,7 @@ import os
 import sys
 import time
 
+os.environ.setdefault("MMTPU_FUSED_MLP_BWD", "1")  # drive the opt-in kernels
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
