@@ -159,8 +159,12 @@ def _qkv_attn_kernel(qkv_ref, o_ref, *, scale, causal, seq, num_heads, d):
 
 
 def _qkv_attn_kernel_kb(qkv_ref, kb_ref, o_ref, *, scale, causal, seq,
-                        num_heads, d):
-    _attn_head_loop(qkv_ref, o_ref, kb_ref[...], scale=scale, causal=causal,
+                        num_heads, d, bb):
+    # kb arrives as the FULL (B, S) array (constant index map — a (bb, S)
+    # block would violate the (8, 128) tile rule whenever bb % 8 != 0);
+    # slice this grid step's batch rows here
+    kb = kb_ref[pl.ds(pl.program_id(0) * bb, bb), :]
+    _attn_head_loop(qkv_ref, o_ref, kb, scale=scale, causal=causal,
                     seq=seq, num_heads=num_heads, d=d)
 
 
@@ -182,10 +186,10 @@ def _qkv_attention_impl(qkv, num_heads, is_causal, sm_scale, key_bias=None):
     if key_bias is not None:
         kernel = functools.partial(
             _qkv_attn_kernel_kb, scale=scale, causal=is_causal, seq=s,
-            num_heads=num_heads, d=d,
+            num_heads=num_heads, d=d, bb=bb,
         )
         in_specs.append(
-            pl.BlockSpec((bb, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(key_bias.astype(jnp.float32))
     else:
@@ -269,8 +273,11 @@ def _qkv_attn_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale, causal, seq,
 
 
 def _qkv_attn_bwd_kernel_kb(qkv_ref, kb_ref, g_ref, dqkv_ref, *, scale,
-                            causal, seq, num_heads, d):
-    _qkv_attn_bwd_loop(qkv_ref, g_ref, dqkv_ref, kb_ref[...], scale=scale,
+                            causal, seq, num_heads, d, bb):
+    # kb is the FULL (B, S) array (see _qkv_attn_kernel_kb); slice this
+    # grid step's batch rows
+    kb = kb_ref[pl.ds(pl.program_id(0) * bb, bb), :]
+    _qkv_attn_bwd_loop(qkv_ref, g_ref, dqkv_ref, kb, scale=scale,
                        causal=causal, seq=seq, num_heads=num_heads, d=d)
 
 
@@ -292,10 +299,10 @@ def _qkv_attention_bwd_impl(qkv, g, num_heads, is_causal, sm_scale,
     if key_bias is not None:
         kernel = functools.partial(
             _qkv_attn_bwd_kernel_kb, scale=scale, causal=is_causal, seq=s,
-            num_heads=num_heads, d=d,
+            num_heads=num_heads, d=d, bb=bb,
         )
         in_specs.append(
-            pl.BlockSpec((bb, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(key_bias.astype(jnp.float32))
     else:

@@ -434,3 +434,27 @@ def test_fused_mlp_staged_backward_tier(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
         )
+
+
+def test_fused_qkv_attention_key_bias_partial_batch_blocks():
+    """Shapes whose VMEM budget forces a batch block smaller than the batch
+    (and not sublane-divisible): the key bias rides as a full-array block
+    sliced per grid step — this failed to lower on TPU when the bias block
+    was (bb, S) with bb % 8 != 0 (FLAVA-900m batch-64 text tower)."""
+    from multimodal_tpu.ops.fused_encoder import _batch_block, key_padding_bias
+
+    r = np.random.RandomState(30)
+    b, s, d, h = 16, 256, 128, 8
+    per_ex = s * (3 * d + d) * 4 + s * s * 4
+    assert 1 < _batch_block(b, per_ex) < b  # the partial-block regime
+    qkv = jnp.asarray(r.randn(b, s, 3 * d), jnp.float32)
+    valid = jnp.asarray(r.rand(b, s) > 0.3).at[:, 0].set(True)
+    kb = key_padding_bias(valid[:, None, None, :], b, s)
+    out = fused_qkv_attention(qkv, h, False, None, kb)
+    ref = _qkv_attention_xla(qkv, h, False, None, kb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    gk = jax.grad(lambda t: jnp.sum(jnp.cos(
+        fused_qkv_attention(t, h, False, None, kb))))(qkv)
+    gx = jax.grad(lambda t: jnp.sum(jnp.cos(
+        _qkv_attention_xla(t, h, False, None, kb))))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-5)
