@@ -479,6 +479,17 @@ def _mlp_impl(x, w1, b1, w2, b2, activation):
     per_row = (din + dout) * x.dtype.itemsize * 2 + dff * (x.dtype.itemsize + 4)
     weight_bytes = (din * dff + dff * dout) * w1.dtype.itemsize
     budget = _MLP_VMEM_BUDGET - weight_bytes
+    if x.dtype.itemsize >= 4:
+        # fp32 rows: Mosaic's measured footprint runs well above this byte
+        # model (the fp32 intermediate is double-buffered — Swin3D 384->1536
+        # measured 20.04 MB against a 13.7 MB estimate, tripping the default
+        # 16 MB scoped-vmem limit). Raising vmem_limit_bytes is NOT a safe
+        # fix: a blanket raise changed Mosaic's scheduling on
+        # previously-working shapes and faulted the device (round-5 prod
+        # smoke, CoCa 512->2048 fp32). Instead shrink the row block so the
+        # worst-case footprint stays inside the default limit; bf16 paths
+        # (the production inference/train configs) are untouched.
+        budget = (10 << 20) - weight_bytes
     if budget < per_row * 64:
         # weights too large to keep resident with a useful row block —
         # the fused kernel would degrade to tiny-matmul grid steps
